@@ -1,0 +1,243 @@
+"""Single source-of-truth configuration.
+
+The reference duplicates its model config as two hand-built dicts (train.py:262-269 and
+test.py:150-156 of /root/reference) that must be kept in sync by hand. Here a single
+dataclass is shared by preprocessing, training, evaluation, and benchmarking, with the
+derived quantities (conv output length, patch length auto-adjustment, patch count)
+computed in one place (reference: train.py:249-260).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference defaults: train.py:262-269)."""
+
+    num_nodes: int = 2911          # 41 x 71 grid
+    grid_h: int = 41
+    grid_w: int = 71
+    in_features: int = 6           # TEC + 5 space-weather indices
+    d_emb: int = 16                # all five embedding tables share this dim
+    num_years: int = 13            # year-index vocabulary (2013..2025)
+    num_tod: int = 12              # 2-hour slots per day
+    num_doy: int = 366
+    num_seasons: int = 4
+
+    # Spatial encoder (GATv2), reference modules.py:315-338
+    spatial_out_channels: int = 11
+    spatial_heads: int = 2
+    gat_negative_slope: float = 0.2
+    gat_dropout: float = 0.1
+
+    # Temporal encoder, reference modules.py:13-154
+    temporal_channel_list: tuple[int, ...] = (64, 128)
+    temporal_strides: tuple[int, ...] = (2, 2)
+    conv_kernel_sizes: tuple[int, ...] = (3, 5, 7)
+    patch_len: int = 4
+
+    # LLM backbone, reference modules.py:156-209
+    d_llm: int = 768
+    llm_layers: int = 3
+    llm_heads: int = 12
+    llm_mlp_ratio: int = 4
+    llm_max_positions: int = 1024
+    lora_r: int = 32
+    lora_alpha: int = 64
+    lora_dropout: float = 0.1
+    llm_dropout: float = 0.1       # GPT-2 embd/resid/attn dropout (HF default 0.1)
+
+    # Head + output, reference modules.py:268-313
+    head_hidden_ratio: int = 4
+    head_dropout: float = 0.1
+    post_llm_dropout: float = 0.1  # reference tec_mollm.py:115
+    prediction_horizon: int = 12   # L_out
+
+    # Input window
+    temporal_seq_len: int = 48     # L_in
+
+    @property
+    def spatial_in_channels(self) -> int:
+        """Channels entering the GNN = raw features + embedding dim (22 by default)."""
+        return self.in_features + self.d_emb
+
+    @property
+    def spatial_channels(self) -> int:
+        """GATv2 output channels = out_channels * heads (residual requires == input)."""
+        return self.spatial_out_channels * self.spatial_heads
+
+    @property
+    def conv_output_len(self) -> int:
+        """Sequence length after the strided conv stack (reference train.py:251)."""
+        length = self.temporal_seq_len
+        for s in self.temporal_strides:
+            length = length // s
+        return length
+
+    @property
+    def effective_patch_len(self) -> int:
+        """patch_len auto-adjusted 4 -> 2 -> 1 so it divides conv_output_len
+        (reference train.py:255-260)."""
+        p = self.patch_len
+        if self.conv_output_len % p != 0:
+            p = 2 if self.conv_output_len % 2 == 0 else 1
+        return p
+
+    @property
+    def num_patches(self) -> int:
+        return self.conv_output_len // self.effective_patch_len
+
+    @property
+    def head_input_dim(self) -> int:
+        return self.d_llm * self.num_patches
+
+    def validate(self) -> None:
+        if self.spatial_channels != self.spatial_in_channels:
+            raise ValueError(
+                "Residual connection requires GAT out (out_channels*heads="
+                f"{self.spatial_channels}) == GAT in ({self.spatial_in_channels})"
+            )
+        if self.num_nodes != self.grid_h * self.grid_w:
+            raise ValueError("num_nodes must equal grid_h * grid_w")
+        if self.num_patches < 1:
+            raise ValueError(
+                f"temporal_seq_len={self.temporal_seq_len} too short for strides "
+                f"{self.temporal_strides} and patch_len={self.patch_len}"
+            )
+        if self.d_llm % self.llm_heads != 0:
+            raise ValueError("d_llm must be divisible by llm_heads")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference defaults: train.py:170-198, :366, :372)."""
+
+    L_in: int = 48
+    L_out: int = 12
+    epochs: int = 50
+    batch_size: int = 2            # per-replica microbatch
+    accumulation_steps: int = 6
+    lr: float = 1e-4
+    weight_decay: float = 1e-2
+    clip_grad_norm: float = 1.0
+    huber_delta: float = 1.0
+    train_stride: int = 12
+    val_stride: int = 1
+    patience: int = 20
+    min_delta: float = 1e-4
+    # CosineAnnealingWarmRestarts(T_0=10, T_mult=2, eta_min=1e-7), stepped once per
+    # optimizer update exactly as the reference does (train.py:109, :366).
+    sched_t0: int = 10
+    sched_t_mult: int = 2
+    sched_eta_min: float = 1e-7
+    seed: int = 0
+    bf16: bool = True              # bf16 compute, fp32 params (no loss scaling on TPU)
+    remat_llm: bool = True         # jax.checkpoint on GPT-2 blocks
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel: int = 1        # tensor-parallel degree over the 'model' mesh axis
+    shuffle: bool = True
+    log_every_epochs: int = 10     # detailed metric dump cadence (reference train.py:400)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / preprocessing parameters (reference preprocess.py, data_loader.py)."""
+
+    raw_dir: str = "data/raw"
+    processed_dir: str = "data/processed"
+    years: tuple[int, ...] = tuple(range(2013, 2026))
+    file_pattern: str = "CRIM_SW2hr_AI_v1.2_{year}_DataDrivenRange_CN.hdf5"
+    train_end: str = "2021-12-31 23:59:59"
+    val_start: str = "2022-01-01 00:00:00"
+    val_end: str = "2023-12-31 23:59:59"
+    test_start: str = "2024-01-01 00:00:00"
+    horizon: int = 12
+    # Graph construction (reference graph_constructor.py:61, :34-59)
+    distance_threshold_km: float = 150.0
+    earth_radius_km: float = 6371.0
+
+    def file_paths(self) -> list[str]:
+        return [
+            f"{self.raw_dir}/{self.file_pattern.format(year=y)}" for y in self.years
+        ]
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    def resolved(self) -> "Config":
+        """Propagate window-length knobs (L_in/L_out) into the model config and
+        validate. Mirrors reference train.py:249-269 derived-config logic."""
+        model = dataclasses.replace(
+            self.model,
+            temporal_seq_len=self.train.L_in,
+            prediction_horizon=self.train.L_out,
+        )
+        model.validate()
+        return dataclasses.replace(self, model=model)
+
+    # ---- JSON round-trip so train/eval/bench share one file ----
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "Config":
+        def build(dc_cls, d):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for k, v in d.items():
+                if k not in fields:
+                    raise KeyError(f"Unknown config key {k!r} for {dc_cls.__name__}")
+                if isinstance(v, list):
+                    v = tuple(v)
+                kwargs[k] = v
+            return dc_cls(**kwargs)
+
+        return cls(
+            model=build(ModelConfig, raw.get("model", {})),
+            train=build(TrainConfig, raw.get("train", {})),
+            data=build(DataConfig, raw.get("data", {})),
+        )
+
+
+def tiny_config(
+    grid_h: int = 6,
+    grid_w: int = 8,
+    L_in: int = 16,
+    L_out: int = 4,
+    d_llm: int = 64,
+    llm_heads: int = 4,
+    llm_layers: int = 2,
+) -> Config:
+    """A CPU-runnable miniature of the full architecture for tests and dry runs."""
+    model = ModelConfig(
+        num_nodes=grid_h * grid_w,
+        grid_h=grid_h,
+        grid_w=grid_w,
+        d_emb=16,
+        d_llm=d_llm,
+        llm_heads=llm_heads,
+        llm_layers=llm_layers,
+        lora_r=4,
+        lora_alpha=8,
+        temporal_seq_len=L_in,
+        prediction_horizon=L_out,
+    )
+    train = TrainConfig(L_in=L_in, L_out=L_out, batch_size=2, accumulation_steps=2)
+    data = DataConfig(horizon=L_out)
+    return Config(model=model, train=train, data=data).resolved()

@@ -1,0 +1,185 @@
+"""Sliding-window dataset + host-side batch pipeline.
+
+Behavioral contract (reference /root/reference/src/data/dataset.py):
+  * samples = range(0, T - L_in - L_out + 1, stride) (dataset.py:46-53);
+  * item i: x = X[i : i+L_in], time_features = tf[i : i+L_in],
+    y = Y[i + L_in - 1] (Y is pre-aligned so that index t holds the L_out future
+    steps of window ending at t; dataset.py:79-92).
+
+Differences from the reference (deliberate, TPU-first):
+  * processed arrays are stored node-flattened: X (T, N, C), Y (T, N, L_out) — the
+    (B, L, H, W, C) -> (B, L, H*W, C) reshape the reference does per batch
+    (train.py:58-65) happens once offline;
+  * time features stay (L, 4) per sample; the model broadcasts them over nodes on
+    device instead of the reference's host-side expand to (B, L, N, 4);
+  * batches are assembled by a background prefetch thread (replacing torch DataLoader
+    workers, train.py:314-331) and can be sharded per host for multi-process DP
+    (replacing DistributedSampler, train.py:309-310).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class SlidingWindowDataset:
+    """Windowed view over a processed split {X, Y, time_features}."""
+
+    def __init__(
+        self,
+        data: dict[str, np.ndarray],
+        L_in: int,
+        L_out: int,
+        stride: int = 1,
+    ):
+        self.X = np.ascontiguousarray(data["X"], dtype=np.float32)
+        self.Y = np.ascontiguousarray(data["Y"], dtype=np.float32)
+        self.time_features = np.ascontiguousarray(data["time_features"], dtype=np.int32)
+        if self.X.ndim != 3 or self.Y.ndim != 3:
+            raise ValueError(
+                f"Expect node-flattened X (T,N,C) / Y (T,N,L_out); got {self.X.shape} / "
+                f"{self.Y.shape}. Use preprocess to flatten the grid."
+            )
+        self.L_in = L_in
+        self.L_out = L_out
+        self.stride = stride
+        max_start = len(self.X) - L_in - L_out + 1
+        self.sample_indices = (
+            np.arange(0, max_start, stride, dtype=np.int64)
+            if max_start > 0
+            else np.zeros((0,), dtype=np.int64)
+        )
+
+    @classmethod
+    def from_dir(cls, data_dir: str, mode: str, L_in: int, L_out: int, stride: int = 1):
+        """Load '{mode}_set.npz' written by the preprocess CLI."""
+        import os
+
+        path = os.path.join(data_dir, f"{mode}_set.npz")
+        with np.load(path) as d:
+            data = {k: d[k] for k in ("X", "Y", "time_features")}
+        return cls(data, L_in=L_in, L_out=L_out, stride=stride)
+
+    def __len__(self) -> int:
+        return len(self.sample_indices)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        start = int(self.sample_indices[idx])
+        return {
+            "x": self.X[start : start + self.L_in],
+            "y": self.Y[start + self.L_in - 1],
+            "time_features": self.time_features[start : start + self.L_in],
+        }
+
+    def gather_batch(self, idxs: np.ndarray) -> dict[str, np.ndarray]:
+        """Assemble a batch with vectorized fancy indexing (no per-sample Python loop)."""
+        starts = self.sample_indices[idxs]
+        window = starts[:, None] + np.arange(self.L_in)[None, :]
+        return {
+            "x": self.X[window],  # (B, L, N, C)
+            "y": self.Y[starts + self.L_in - 1],  # (B, N, L_out)
+            "time_features": self.time_features[window],  # (B, L, 4)
+        }
+
+
+class BatchLoader:
+    """Iterates batches with optional shuffling, per-host sharding, and prefetch.
+
+    drop_remainder=True keeps shapes static for jit (one compilation). For eval the
+    remainder can matter; use drop_remainder=False and the final short batch is padded
+    to full size with `pad` flag so metrics can mask it out.
+    """
+
+    def __init__(
+        self,
+        dataset: SlidingWindowDataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle deterministically per epoch (DistributedSampler.set_epoch parity,
+        reference train.py:382)."""
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+        # contiguous shard per host, equal sizes (truncate like DistributedSampler
+        # with drop_last semantics to keep hosts in lockstep)
+        per_shard = n // self.num_shards if self.num_shards > 1 else n
+        if self.num_shards > 1:
+            order = order[self.shard_index * per_shard : (self.shard_index + 1) * per_shard]
+        return order
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[dict[str, np.ndarray]]:
+        order = self._epoch_indices()
+        n_full = len(order) // self.batch_size
+        for b in range(n_full):
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            batch = self.dataset.gather_batch(idxs)
+            batch["valid"] = np.ones(self.batch_size, dtype=bool)
+            yield batch
+        rem = len(order) - n_full * self.batch_size
+        if rem and not self.drop_remainder:
+            idxs = order[n_full * self.batch_size :]
+            pad = np.concatenate([idxs, np.repeat(idxs[-1:], self.batch_size - rem)])
+            batch = self.dataset.gather_batch(pad)
+            valid = np.zeros(self.batch_size, dtype=bool)
+            valid[:rem] = True
+            batch["valid"] = valid
+            yield batch
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # propagate into consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

@@ -1,0 +1,146 @@
+"""Feature engineering: split arrays -> aligned (X, Y, time_features) tensors + scalers.
+
+Behavioral contract (reference /root/reference/src/features/feature_engineering.py):
+  * X = concat([TEC[..., None], five broadcast indices], axis=-1) -> (T, 41, 71, 6)
+    (feature_engineering.py:38-53);
+  * Y[t] = TEC[t+1 .. t+horizon] transposed to (41, 71, horizon) -> (T-horizon, 41, 71, H)
+    (feature_engineering.py:55-67) — implemented here with a vectorized
+    sliding_window_view instead of the reference's Python loop over T;
+  * time features per step: [hour//2, dayofyear-1, year - min(year), season]
+    with season = (month % 12 + 3)//3 - 1 (feature_engineering.py:69-102);
+  * X and time_features are truncated to len(Y) (feature_engineering.py:131-133);
+  * the feature scaler is fit on train X reshaped (-1, 6) and applied to all splits
+    (feature_engineering.py:146-194); the target scaler is fit on train Y
+    (preprocess.py:56-60) and applied to Y of every split (preprocess.py:75-82).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from tec_mollm_tpu.data.hdf5_io import load_and_split_data
+from tec_mollm_tpu.data.scaler import StandardScaler
+
+logger = logging.getLogger(__name__)
+
+
+def broadcast_indices(indices: np.ndarray, spatial_shape: tuple[int, int]) -> np.ndarray:
+    """(T, 5) space-weather indices -> (T, H, W, 5) via broadcast
+    (reference feature_engineering.py:27-36 broadcasts each index separately)."""
+    t, k = indices.shape
+    return np.broadcast_to(indices[:, None, None, :], (t,) + spatial_shape + (k,))
+
+
+def construct_feature_tensor(tec: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """X = [TEC | AE | Dst | F107 | Kp | ap] -> (T, H, W, 6)."""
+    broadcast = broadcast_indices(indices, tec.shape[1:])
+    return np.concatenate([tec[..., None], broadcast], axis=-1)
+
+
+def construct_target_tensor(tec: np.ndarray, horizon: int = 12) -> np.ndarray:
+    """Y[t, i, j, k] = tec[t + 1 + k, i, j] for k in [0, horizon).
+
+    Matches the reference loop (feature_engineering.py:63-65) but vectorized:
+    sliding_window_view over the time axis of tec[1:].
+    """
+    num_targets = tec.shape[0] - horizon
+    if num_targets <= 0:
+        raise ValueError(f"Need > {horizon} timesteps, got {tec.shape[0]}")
+    windows = np.lib.stride_tricks.sliding_window_view(tec[1:], horizon, axis=0)
+    # windows: (T - horizon, H, W, horizon), windows[t, i, j, k] == tec[1 + t + k, i, j]
+    return np.ascontiguousarray(windows[:num_targets]).astype(tec.dtype)
+
+
+def extract_time_features(times: np.ndarray) -> np.ndarray:
+    """(T,) datetime64 -> (T, 4) int32 [tod_slot, doy0, year_index, season]
+    (reference feature_engineering.py:69-102).
+
+    tod_slot = hour // 2 in [0, 12); doy0 = dayofyear - 1 in [0, 366);
+    year_index = year - min(year); season: DJF=0 MAM=1 JJA=2 SON=3.
+    """
+    times = np.asarray(times, dtype="datetime64[s]")
+    hours = times.astype("datetime64[h]").astype(np.int64) % 24
+    days = times.astype("datetime64[D]")
+    years_d = times.astype("datetime64[Y]")
+    doy0 = (days - years_d.astype("datetime64[D]")).astype(np.int64)
+    years = years_d.astype(np.int64) + 1970
+    months = times.astype("datetime64[M]").astype(np.int64) % 12 + 1
+    tod = hours // 2
+    year_index = years - years.min()
+    season = (months % 12 + 3) // 3 - 1
+    return np.stack([tod, doy0, year_index, season], axis=-1).astype(np.int32)
+
+
+def create_features_and_targets(
+    file_paths: list[str], horizon: int = 12
+) -> dict[str, dict[str, np.ndarray]]:
+    """Full L0+L1 pipeline per split (reference feature_engineering.py:104-144)."""
+    data_splits = load_and_split_data(file_paths)
+    return build_split_tensors(data_splits, horizon)
+
+
+def build_split_tensors(
+    data_splits: dict[str, dict[str, np.ndarray]], horizon: int = 12
+) -> dict[str, dict[str, np.ndarray]]:
+    """Split dicts {tec, time, space_weather_indices} -> aligned {X, Y, time_features}."""
+    processed: dict[str, dict[str, np.ndarray]] = {}
+    for split_name, data in data_splits.items():
+        x = construct_feature_tensor(data["tec"], data["space_weather_indices"])
+        y = construct_target_tensor(data["tec"], horizon)
+        tf = extract_time_features(data["time"])
+        num_targets = y.shape[0]
+        processed[split_name] = {
+            "X": x[:num_targets],
+            "Y": y,
+            "time_features": tf[:num_targets],
+        }
+        logger.info(
+            "split %-5s: X %s Y %s tf %s",
+            split_name,
+            processed[split_name]["X"].shape,
+            y.shape,
+            processed[split_name]["time_features"].shape,
+        )
+    return processed
+
+
+def standardize_features(
+    processed_splits: dict[str, dict[str, np.ndarray]],
+    scaler_path: str | None = None,
+) -> tuple[dict[str, dict[str, np.ndarray]], StandardScaler]:
+    """Fit a per-feature scaler on train X, transform X of all splits
+    (reference feature_engineering.py:146-194). Y and time_features pass through."""
+    x_train = processed_splits["train"]["X"]
+    scaler = StandardScaler().fit(x_train.reshape(-1, x_train.shape[-1]))
+    if scaler_path:
+        scaler.save(scaler_path)
+
+    out: dict[str, dict[str, np.ndarray]] = {}
+    for name, data in processed_splits.items():
+        x = data["X"]
+        x_scaled = scaler.transform(x.reshape(-1, x.shape[-1])).reshape(x.shape)
+        out[name] = dict(data)
+        out[name]["X"] = x_scaled.astype(np.float32)
+    return out, scaler
+
+
+def standardize_targets(
+    processed_splits: dict[str, dict[str, np.ndarray]],
+    scaler_path: str | None = None,
+) -> tuple[dict[str, dict[str, np.ndarray]], StandardScaler]:
+    """Fit a single-feature scaler on train Y and scale Y of every split
+    (reference preprocess.py:45-82)."""
+    y_train = processed_splits["train"]["Y"]
+    scaler = StandardScaler().fit(y_train.reshape(-1, 1))
+    if scaler_path:
+        scaler.save(scaler_path)
+
+    out: dict[str, dict[str, np.ndarray]] = {}
+    for name, data in processed_splits.items():
+        y = data["Y"]
+        y_scaled = scaler.transform(y.reshape(-1, 1)).reshape(y.shape)
+        out[name] = dict(data)
+        out[name]["Y"] = y_scaled.astype(np.float32)
+    return out, scaler

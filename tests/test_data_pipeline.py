@@ -1,0 +1,240 @@
+"""Data foundation tests: scaler, HDF5 ingestion, splits, features, targets, windows.
+
+Mirrors the reference's inline asserts (data_loader.py:209-240,
+feature_engineering.py:196-218) but hermetically against synthetic fixtures.
+"""
+
+import numpy as np
+import pytest
+
+from tec_mollm_tpu.data import (
+    StandardScaler,
+    load_and_split_data,
+    SlidingWindowDataset,
+    BatchLoader,
+)
+from tec_mollm_tpu.data.features import (
+    build_split_tensors,
+    construct_feature_tensor,
+    construct_target_tensor,
+    extract_time_features,
+    standardize_features,
+    standardize_targets,
+)
+from tec_mollm_tpu.data.synthetic import synthetic_raw_data
+
+
+class TestStandardScaler:
+    def test_matches_sklearn(self, rng):
+        from sklearn.preprocessing import StandardScaler as SkScaler
+
+        x = rng.normal(3.0, 2.5, size=(100, 6))
+        x[:, 2] = 7.0  # zero-variance column
+        ours = StandardScaler().fit(x)
+        theirs = SkScaler().fit(x)
+        np.testing.assert_allclose(ours.transform(x), theirs.transform(x), atol=1e-12)
+        np.testing.assert_allclose(
+            ours.inverse_transform(ours.transform(x)), x, atol=1e-9
+        )
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        x = rng.normal(size=(50, 3))
+        s = StandardScaler().fit(x)
+        path = str(tmp_path / "scaler.npz")
+        s.save(path)
+        s2 = StandardScaler.load(path)
+        np.testing.assert_array_equal(s.mean_, s2.mean_)
+        np.testing.assert_array_equal(s.scale_, s2.scale_)
+
+
+class TestHDF5Ingestion:
+    def test_load_and_split(self, synthetic_hdf5_dir):
+        splits = load_and_split_data(synthetic_hdf5_dir)
+        # synthetic files are 2014/2015 -> all 120 steps land in train (<= 2021)
+        assert len(splits["train"]["time"]) == 120
+        assert len(splits["val"]["time"]) == 0
+        assert len(splits["test"]["time"]) == 0
+        assert splits["train"]["tec"].shape == (120, 5, 7)
+        assert splits["train"]["space_weather_indices"].shape == (120, 5)
+        # static coords copied into every split
+        assert splits["val"]["latitude"].shape == (5,)
+
+    def test_kp_scale_factor_applied(self, synthetic_hdf5_dir):
+        from tec_mollm_tpu.data.hdf5_io import load_hdf5_file
+
+        data = load_hdf5_file(synthetic_hdf5_dir[0])
+        kp = data["space_weather_indices"][:, 3]
+        # stored as ints scaled by 10 with scale_factor 0.1 -> restored values are
+        # not integers in general but bounded like real Kp
+        assert np.all(np.abs(kp) < 50)
+        assert kp.dtype == np.float64
+
+    def test_split_boundaries(self):
+        raw = synthetic_raw_data(num_steps=40, grid_h=3, grid_w=4, start="2021-12-29T00:00:00")
+        from tec_mollm_tpu.data.hdf5_io import split_by_time
+
+        splits = split_by_time(raw)
+        t_train = splits["train"]["time"]
+        t_val = splits["val"]["time"]
+        assert t_train.max() <= np.datetime64("2021-12-31T23:59:59")
+        assert t_val.min() >= np.datetime64("2022-01-01T00:00:00")
+        assert len(t_train) + len(t_val) == 40
+
+
+class TestFeatures:
+    def test_feature_tensor_layout(self, rng):
+        tec = rng.normal(size=(10, 4, 6)).astype(np.float32)
+        idx = rng.normal(size=(10, 5)).astype(np.float32)
+        x = construct_feature_tensor(tec, idx)
+        assert x.shape == (10, 4, 6, 6)
+        np.testing.assert_array_equal(x[..., 0], tec)
+        # each index broadcast over the grid
+        for k in range(5):
+            np.testing.assert_array_equal(x[:, 2, 3, 1 + k], idx[:, k])
+
+    def test_target_alignment_identity(self, rng):
+        """Y[t, ..., i] == tec[t+i+1] — the reference's value-level invariant
+        (feature_engineering.py:214)."""
+        tec = rng.normal(size=(30, 3, 4)).astype(np.float32)
+        y = construct_target_tensor(tec, horizon=12)
+        assert y.shape == (18, 3, 4, 12)
+        for t in (0, 5, 17):
+            for i in (0, 5, 11):
+                np.testing.assert_array_equal(y[t, ..., i], tec[t + i + 1])
+
+    def test_time_features(self):
+        times = np.array(
+            [
+                "2013-01-01T00:00:00",
+                "2013-01-01T07:00:00",
+                "2014-12-31T22:00:00",
+                "2015-06-15T12:00:00",
+                "2016-03-01T02:00:00",
+                "2016-12-31T23:59:59",
+            ],
+            dtype="datetime64[s]",
+        )
+        tf = extract_time_features(times)
+        assert tf.shape == (6, 4)
+        assert tf.dtype == np.int32
+        np.testing.assert_array_equal(tf[:, 0], [0, 3, 11, 6, 1, 11])  # hour//2
+        assert tf[0, 1] == 0 and tf[2, 1] == 364  # doy-1
+        np.testing.assert_array_equal(tf[:, 2], [0, 0, 1, 2, 3, 3])  # year index
+        # season: Jan=0 (winter), Dec=0, Jun=2 (summer), Mar=1 (spring)
+        np.testing.assert_array_equal(tf[:, 3], [0, 0, 0, 2, 1, 0])
+
+    def test_build_split_tensors_and_scaling(self):
+        raw = synthetic_raw_data(num_steps=40, grid_h=3, grid_w=4)
+        splits = build_split_tensors({"train": raw}, horizon=12)
+        tr = splits["train"]
+        assert tr["X"].shape == (28, 3, 4, 6)
+        assert tr["Y"].shape == (28, 3, 4, 12)
+        assert tr["time_features"].shape == (28, 4)
+
+        std, scaler = standardize_features(splits)
+        x = std["train"]["X"].reshape(-1, 6)
+        np.testing.assert_allclose(x.mean(axis=0), 0.0, atol=1e-4)
+        np.testing.assert_allclose(x.std(axis=0), 1.0, atol=1e-4)
+
+        stdy, tscaler = standardize_targets(splits)
+        y = stdy["train"]["Y"].reshape(-1)
+        np.testing.assert_allclose(y.mean(), 0.0, atol=1e-4)
+        # round trip back to physical units
+        restored = tscaler.inverse_transform(stdy["train"]["Y"].reshape(-1, 1)).reshape(
+            tr["Y"].shape
+        )
+        np.testing.assert_allclose(restored, tr["Y"], atol=1e-4)
+
+
+class TestSlidingWindow:
+    def _make(self, T=50, N=12, C=6, L_out=4):
+        rng = np.random.default_rng(0)
+        return {
+            "X": rng.normal(size=(T, N, C)).astype(np.float32),
+            "Y": rng.normal(size=(T, N, L_out)).astype(np.float32),
+            "time_features": np.arange(T * 4, dtype=np.int32).reshape(T, 4),
+        }
+
+    def test_window_count_matches_reference_formula(self):
+        data = self._make(T=50)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)
+        assert len(ds) == 50 - 16 - 4 + 1
+        ds2 = SlidingWindowDataset(data, L_in=16, L_out=4, stride=12)
+        assert len(ds2) == len(range(0, 50 - 16 - 4 + 1, 12))
+
+    def test_item_contents(self):
+        data = self._make(T=50)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=3)
+        item = ds[2]  # start = 6
+        np.testing.assert_array_equal(item["x"], data["X"][6:22])
+        np.testing.assert_array_equal(item["y"], data["Y"][6 + 16 - 1])
+        np.testing.assert_array_equal(item["time_features"], data["time_features"][6:22])
+
+    def test_gather_batch_matches_items(self):
+        data = self._make(T=60)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=2)
+        batch = ds.gather_batch(np.array([0, 3, 7]))
+        for b, idx in enumerate([0, 3, 7]):
+            item = ds[idx]
+            np.testing.assert_array_equal(batch["x"][b], item["x"])
+            np.testing.assert_array_equal(batch["y"][b], item["y"])
+
+    def test_loader_epochs_and_sharding(self):
+        data = self._make(T=100)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)
+        loader = BatchLoader(ds, batch_size=8, shuffle=True, seed=1)
+        loader.set_epoch(0)
+        first = [b["x"][0, 0, 0, 0] for b in loader]
+        loader.set_epoch(0)
+        again = [b["x"][0, 0, 0, 0] for b in loader]
+        assert first == again  # deterministic per epoch
+        loader.set_epoch(1)
+        shuffled = [b["x"][0, 0, 0, 0] for b in loader]
+        assert first != shuffled
+
+        # two shards partition the (truncated) index space
+        l0 = BatchLoader(ds, batch_size=4, num_shards=2, shard_index=0, prefetch=0)
+        l1 = BatchLoader(ds, batch_size=4, num_shards=2, shard_index=1, prefetch=0)
+        n = len(ds) // 2 // 4
+        assert len(l0) == len(l1) == n
+
+    def test_loader_pads_remainder(self):
+        data = self._make(T=40)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)  # 21 windows
+        loader = BatchLoader(ds, batch_size=8, drop_remainder=False, prefetch=0)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[-1]["x"].shape[0] == 8
+        assert batches[-1]["valid"].sum() == 21 - 16
+
+
+class TestConfig:
+    def test_derived_fields(self):
+        from tec_mollm_tpu.config import Config
+
+        cfg = Config().resolved()
+        m = cfg.model
+        assert m.spatial_in_channels == 22
+        assert m.spatial_channels == 22
+        assert m.conv_output_len == 12
+        assert m.effective_patch_len == 4
+        assert m.num_patches == 3
+        assert m.head_input_dim == 2304
+
+    def test_patch_len_auto_adjust(self):
+        """reference train.py:255-260: patch_len 4 -> 2 -> 1."""
+        from tec_mollm_tpu.config import Config, TrainConfig
+
+        cfg = Config(train=TrainConfig(L_in=24)).resolved()  # conv len 6 -> patch 2
+        assert cfg.model.effective_patch_len == 2
+        assert cfg.model.num_patches == 3
+        cfg = Config(train=TrainConfig(L_in=20)).resolved()  # conv len 5 -> patch 1
+        assert cfg.model.effective_patch_len == 1
+        assert cfg.model.num_patches == 5
+
+    def test_json_roundtrip(self):
+        from tec_mollm_tpu.config import Config
+
+        cfg = Config().resolved()
+        cfg2 = Config.from_json(cfg.to_json())
+        assert cfg2 == cfg
