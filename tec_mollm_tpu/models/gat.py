@@ -1,0 +1,116 @@
+"""GATv2 graph attention over the static geographic graph, dense-padded for TPU.
+
+Semantics match torch_geometric.nn.GATv2Conv(in, out, heads, concat=True,
+add_self_loops=True, share_weights=False, negative_slope=0.2) as used by the
+reference SpatialEncoder (/root/reference/src/model/modules.py:329-336):
+
+    for incoming edge j -> i (plus the self loop i -> i):
+        e_ij   = att_h . leaky_relu( lin_l(x_j) + lin_r(x_i) )      per head h
+        alpha  = softmax_j(e_ij)                (dropout on alpha when training)
+        out_i  = sum_j alpha_ij * lin_l(x_j)    concat over heads, + bias
+
+TPU-first design: instead of edge-list scatter/segment-softmax (hostile to the
+MXU/VPU), the static graph is a padded neighbor table (N, D) with D = max degree
+(~11 on the real 150 km grid — see graph/builder.py). Attention becomes two dense
+matmuls + a gather + a masked softmax over a tiny static axis, fully batchable over
+(B, L). edge_weight is accepted nowhere: GATv2 learns weights by attention and the
+reference ignores it too (modules.py:355-356).
+
+Note on reference parity: the reference's batched flattening feeds a single
+un-offset edge_index to (L*B) stacked graphs, so only the first graph receives real
+neighbor messages (SURVEY.md §2.d.1). This implementation applies the graph to every
+(batch, timestep) slice — the architecture as designed, not as accidentally shipped.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tec_mollm_tpu.config import ModelConfig
+
+
+class GATv2(nn.Module):
+    """Dense-padded GATv2 layer. Input (..., N, F_in) -> output (..., N, heads*out)."""
+
+    out_channels: int
+    heads: int = 2
+    negative_slope: float = 0.2
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,            # (..., N, F_in)
+        neighbors: jnp.ndarray,    # (N, D) int32 — includes the self loop
+        mask: jnp.ndarray,         # (N, D) bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h, c = self.heads, self.out_channels
+        # glorot init matches PyG's reset_parameters for lin_l/lin_r/att
+        dense = lambda name: nn.Dense(
+            h * c,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
+            name=name,
+        )
+        xl = dense("lin_l")(x)  # messages (source-side)
+        xr = dense("lin_r")(x)  # scores (target-side)
+        new_shape = x.shape[:-1] + (h, c)
+        xl = xl.reshape(new_shape)
+        xr = xr.reshape(new_shape)
+
+        node_axis = x.ndim - 2
+        xl_nbr = jnp.take(xl, neighbors, axis=node_axis)  # (..., N, D, h, c)
+
+        att = self.param("att", nn.initializers.glorot_uniform(), (1, h * c))
+        att = att.reshape(h, c).astype(self.dtype)
+
+        scores = nn.leaky_relu(
+            xl_nbr + xr[..., :, None, :, :], negative_slope=self.negative_slope
+        )
+        scores = jnp.einsum("...dhc,hc->...dh", scores, att)  # (..., N, D, h)
+
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=scores.dtype)
+        mask_b = mask[(None,) * (scores.ndim - 3) + (...,) + (None,)]  # (..., N, D, 1)
+        scores = jnp.where(mask_b, scores, neg)
+        alpha = nn.softmax(scores, axis=-2)  # softmax over neighbors D
+        alpha = jnp.where(mask_b, alpha, 0.0)
+
+        if self.dropout > 0.0 and not deterministic:
+            alpha = nn.Dropout(rate=self.dropout, deterministic=False)(alpha)
+
+        out = jnp.einsum("...dh,...dhc->...hc", alpha, xl_nbr)  # (..., N, h, c)
+        out = out.reshape(x.shape[:-1] + (h * c,))
+        bias = self.param("bias", nn.initializers.zeros, (h * c,))
+        return out + bias.astype(self.dtype)
+
+
+class SpatialEncoder(nn.Module):
+    """GATv2 + residual, matching reference modules.py:315-359 + tec_mollm.py:94.
+
+    The residual add (tec_mollm.py:91-95) requires heads*out_channels == input
+    channels (22 = 2*11 by default), validated in ModelConfig.
+    """
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        neighbors: jnp.ndarray,
+        mask: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        gat = GATv2(
+            out_channels=self.cfg.spatial_out_channels,
+            heads=self.cfg.spatial_heads,
+            negative_slope=self.cfg.gat_negative_slope,
+            dropout=self.cfg.gat_dropout,
+            dtype=self.dtype,
+            name="gat",
+        )
+        return x + gat(x, neighbors, mask, deterministic=deterministic)

@@ -1,0 +1,83 @@
+"""TEC-MoLLM: full model assembly.
+
+Behavioral contract (reference /root/reference/src/model/tec_mollm.py:15-125), shape
+ledger for B=batch, L=48, N=2911 (SURVEY.md §2.c):
+
+    x (B,L,N,6) --embed--> (B,L,N,22) --GATv2+residual per (B,L)--> (B,L,N,22)
+      --> (B*N, L, 22) --multi-scale conv--> (B*N, 12, 128) --patch--> (B*N, 3, 768)
+      --GPT-2 (3 blocks, LoRA)--> (B*N, 3, 768) --dropout 0.1--> head --> (B*N, 12)
+      --> (B, L_out, N, 1)
+
+The reference's permute/reshape choreography (tec_mollm.py:84-106) collapses into two
+transposes here; the GNN runs directly on the (B, L, N, C) layout (the neighbor table
+broadcasts over leading axes) instead of flattening to (L*B, N, C).
+
+edge_weight is not part of the API: GATv2 ignores it in the reference
+(modules.py:355-356) and test.py omits it, which crashes the reference's positional
+signature (SURVEY.md §2.d.2) — here the graph is passed as a padded neighbor table.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tec_mollm_tpu.config import ModelConfig
+from tec_mollm_tpu.models.embeddings import SpatioTemporalEmbedding
+from tec_mollm_tpu.models.gat import SpatialEncoder
+from tec_mollm_tpu.models.gpt2 import GPT2Backbone
+from tec_mollm_tpu.models.head import PredictionHead
+from tec_mollm_tpu.models.temporal import TemporalEncoder
+
+
+class TECMoLLM(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+    remat_llm: bool = False
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,              # (B, L, N, C_in) float
+        time_features: jnp.ndarray,  # (B, L, 4) int
+        neighbors: jnp.ndarray,      # (N, D) int32
+        neighbor_mask: jnp.ndarray,  # (N, D) bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b, l, n, _ = x.shape
+
+        # 1. spatio-temporal embedding: (B, L, N, 6) -> (B, L, N, 22)
+        h = SpatioTemporalEmbedding(cfg, dtype=self.dtype, name="embedding")(
+            x, time_features
+        )
+
+        # 2-4. graph attention + residual, applied per (batch, timestep) slice
+        h = SpatialEncoder(cfg, dtype=self.dtype, name="spatial")(
+            h, neighbors, neighbor_mask, deterministic=deterministic
+        )
+
+        # 5. to per-node sequences: (B, L, N, C) -> (B*N, L, C)
+        c = h.shape[-1]
+        h = h.transpose(0, 2, 1, 3).reshape(b * n, l, c)
+
+        # 6. temporal encoder: (B*N, L, 22) -> (B*N, P, d_llm)
+        h = TemporalEncoder(cfg, dtype=self.dtype, name="temporal")(h)
+
+        # 7. LLM backbone (+ dropout 0.1, reference tec_mollm.py:115)
+        h = GPT2Backbone(
+            cfg,
+            dtype=self.dtype,
+            remat=self.remat_llm,
+            use_flash=self.use_flash,
+            name="llm",
+        )(h, deterministic=deterministic)
+        h = nn.Dropout(rate=cfg.post_llm_dropout, deterministic=deterministic)(h)
+
+        # 8-10. head + final reshape: (B*N, L_out) -> (B, L_out, N, 1)
+        preds = PredictionHead(cfg, dtype=self.dtype, name="head")(
+            h, deterministic=deterministic
+        )
+        preds = preds.reshape(b, n, cfg.prediction_horizon)
+        return preds.transpose(0, 2, 1)[..., None].astype(jnp.float32)

@@ -1,0 +1,104 @@
+"""Temporal encoder: multi-scale strided 1-D convolutions + latent patching.
+
+Behavioral contract (reference /root/reference/src/model/modules.py:13-154):
+  * Multi_Scale_Conv_Block: 3 parallel Conv1d k in {3,5,7}, same padding, each
+    followed by GroupNorm(1 group) + exact GELU; concat channels; 1x1 Conv1d with the
+    block's stride (modules.py:19-41);
+  * MultiScaleConvEmbedder stacks blocks per (channel_list, strides):
+    default 22->64 (stride 2), 64->128 (stride 2), so L 48->24->12 (modules.py:62-88);
+  * LatentPatchingProjection: 'b (p l) d -> b p (l d)' with l=patch_len, then
+    Linear(patch_len*latent -> d_llm) (modules.py:90-119).
+
+TPU-first notes: convolutions run feature-last (B, L, C) so XLA lowers them onto the
+MXU as batched matmuls; the three kernel sizes + GroupNorm + GELU fuse in one jitted
+region (no intermediate HBM round-trips). GroupNorm with a single group normalizes
+over (L, C) jointly per sample, matching torch GroupNorm semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tec_mollm_tpu.config import ModelConfig
+
+
+class MultiScaleConvBlock(nn.Module):
+    out_channels: int
+    stride: int
+    kernel_sizes: Sequence[int] = (3, 5, 7)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, L, C_in) -> (B, L // stride, C_out)."""
+        branches = []
+        for k in self.kernel_sizes:
+            h = nn.Conv(
+                self.out_channels,
+                kernel_size=(k,),
+                padding="SAME",  # == torch padding=(k-1)//2 for odd k, stride 1
+                dtype=self.dtype,
+                name=f"conv_k{k}",
+            )(x)
+            h = nn.GroupNorm(
+                num_groups=1, epsilon=1e-5, dtype=self.dtype, name=f"norm_k{k}"
+            )(h)
+            branches.append(nn.gelu(h, approximate=False))
+        concat = jnp.concatenate(branches, axis=-1)
+        # 1x1 strided conv: picks every stride-th position (torch Conv1d k=1 stride=s)
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(1,),
+            strides=(self.stride,),
+            padding="VALID",
+            dtype=self.dtype,
+            name="final_conv",
+        )(concat)
+
+
+class LatentPatchingProjection(nn.Module):
+    patch_len: int
+    d_llm: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, L, D) -> (B, L // patch_len, d_llm).
+
+        The (p l) d -> p (l d) flatten keeps patch-position-major order exactly like
+        the reference's einops rearrange (modules.py:114).
+        """
+        b, length, d = x.shape
+        p = length // self.patch_len
+        x = x.reshape(b, p, self.patch_len * d)
+        return nn.Dense(self.d_llm, dtype=self.dtype, name="projection")(x)
+
+
+class TemporalEncoder(nn.Module):
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, L_in, C) -> (B, num_patches, d_llm). Feature-last throughout
+        (the reference permutes to channels-first for torch Conv1d; XLA prefers NLC)."""
+        cfg = self.cfg
+        for i, (ch, stride) in enumerate(
+            zip(cfg.temporal_channel_list, cfg.temporal_strides)
+        ):
+            x = MultiScaleConvBlock(
+                out_channels=ch,
+                stride=stride,
+                kernel_sizes=cfg.conv_kernel_sizes,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        return LatentPatchingProjection(
+            patch_len=cfg.effective_patch_len,
+            d_llm=cfg.d_llm,
+            dtype=self.dtype,
+            name="patcher",
+        )(x)

@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
+# The axon environment registers the TPU plugin from sitecustomize.py, which imports
+# jax BEFORE this file runs — env vars alone are read too early to help. The config
+# update below is honored as long as no computation has happened yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+assert jax.device_count() == 8, "xla_force_host_platform_device_count=8 not applied"
+
 import numpy as np
 import pytest
 

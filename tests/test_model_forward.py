@@ -1,0 +1,100 @@
+"""End-to-end model forward tests on the tiny config (CPU-runnable, SURVEY.md §4c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tec_mollm_tpu.config import tiny_config
+from tec_mollm_tpu.models import TECMoLLM
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_graph):
+    cfg = tiny_config()
+    m = cfg.model
+    rng = np.random.default_rng(0)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, m.temporal_seq_len, m.num_nodes, m.in_features)).astype(np.float32))
+    tf = jnp.asarray(rng.integers(0, 4, size=(b, m.temporal_seq_len, 4)).astype(np.int32))
+    nbrs = jnp.asarray(tiny_graph.neighbors)
+    mask = jnp.asarray(tiny_graph.neighbor_mask)
+    model = TECMoLLM(m)
+    params = model.init(jax.random.key(0), x, tf, nbrs, mask)
+    return cfg, model, params, (x, tf, nbrs, mask)
+
+
+class TestForward:
+    def test_output_shape_and_dtype(self, setup):
+        cfg, model, params, args = setup
+        out = model.apply(params, *args)
+        b = args[0].shape[0]
+        assert out.shape == (b, cfg.model.prediction_horizon, cfg.model.num_nodes, 1)
+        assert out.dtype == jnp.float32
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_jit_compiles_once(self, setup):
+        cfg, model, params, args = setup
+        fwd = jax.jit(model.apply)
+        out1 = fwd(params, *args)
+        out2 = fwd(params, *args)
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_deterministic_flag(self, setup):
+        """dropout active only when deterministic=False (reference applies 4 dropouts:
+        GAT alpha, LoRA input, GPT-2 internals, post-LLM + head)."""
+        cfg, model, params, args = setup
+        out_det = model.apply(params, *args, deterministic=True)
+        out_train = model.apply(
+            params, *args, deterministic=False, rngs={"dropout": jax.random.key(1)}
+        )
+        out_train2 = model.apply(
+            params, *args, deterministic=False, rngs={"dropout": jax.random.key(2)}
+        )
+        assert not np.allclose(out_det, out_train)
+        assert not np.allclose(out_train, out_train2)
+
+    def test_batch_independence(self, setup):
+        """sample b's output depends only on sample b's input."""
+        cfg, model, params, (x, tf, nbrs, mask) = setup
+        out = model.apply(params, x, tf, nbrs, mask)
+        x2 = x.at[1].set(x[1] * 2.0 + 1.0)
+        out2 = model.apply(params, x2, tf, nbrs, mask)
+        np.testing.assert_allclose(out[0], out2[0], atol=1e-5)
+        assert not np.allclose(out[1], out2[1])
+
+    def test_bf16_forward(self, setup):
+        cfg, model, params, args = setup
+        model_bf16 = TECMoLLM(cfg.model, dtype=jnp.bfloat16)
+        out = model_bf16.apply(params, *args)
+        assert out.dtype == jnp.float32  # predictions cast back to fp32
+        out_f32 = model.apply(params, *args)
+        # bf16 compute tracks fp32 within bf16 tolerance
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_f32), atol=0.15)
+
+    def test_remat_matches(self, setup):
+        cfg, model, params, args = setup
+        model_remat = TECMoLLM(cfg.model, remat_llm=True)
+        out = np.asarray(model_remat.apply(params, *args))
+        expect = np.asarray(model.apply(params, *args))
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+
+    def test_param_count_default_config(self):
+        """Full-size config param budget sanity: 3-layer GPT-2 (~21M) + adapters +
+        embeddings; catches silent architecture drift."""
+        from tec_mollm_tpu.config import Config
+
+        cfg = Config().resolved()
+        m = cfg.model
+        model = TECMoLLM(m)
+        x = jnp.zeros((1, m.temporal_seq_len, m.num_nodes, m.in_features))
+        tf = jnp.zeros((1, m.temporal_seq_len, 4), dtype=jnp.int32)
+        nbrs = jnp.zeros((m.num_nodes, 11), dtype=jnp.int32)
+        mask = jnp.ones((m.num_nodes, 11), dtype=bool)
+        params = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), x, tf, nbrs, mask)
+        )
+        total = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+        # GPT-2 3 blocks ~21.3M + wpe 0.79M + head ~1.33M + temporal ~0.5M +
+        # embeddings ~57k + GAT ~1k + LoRA ~0.15M  => ~24M
+        assert 20e6 < total < 30e6, f"unexpected param count {total}"
