@@ -1,0 +1,78 @@
+"""Device mesh + sharding helpers: the TPU-native replacement for the reference's
+torchrun/NCCL/DDP stack (train.py:31-43, :309-310, :353-354).
+
+Strategy (SURVEY.md §2 parallelism inventory): the reference implements exactly one
+strategy — data parallelism. Here DP is first-class (batch sharded over the 'data'
+mesh axis; gradient mean inserted by GSPMD when params are replicated), and tensor
+parallelism over 'model' is additionally available for the GPT-2 backbone + head
+(see partitioning.py) — collectives ride ICI, chosen by XLA.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data_parallel: int | None = None,
+    model_parallel: int = 1,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (data, model) mesh. data_parallel=None uses all remaining devices.
+
+    jax.make_mesh picks a device order that keeps the trailing (model) axis on
+    adjacent devices, so tensor-parallel collectives ride the fastest ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_parallel is None:
+        if n % model_parallel:
+            raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+        data_parallel = n // model_parallel
+    if data_parallel * model_parallel != n:
+        devices = devices[: data_parallel * model_parallel]
+    dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)
+    return Mesh(dev_array, axis_names=(data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict[str, Any], mesh: Mesh, data_axis: str = "data") -> dict[str, Any]:
+    """Device-put a host batch with batch-dim sharding (the per-host data sharding
+    that replaces DistributedSampler)."""
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_batch_to_multiple(batch: dict[str, Any], multiple: int) -> dict[str, Any]:
+    """Pad the leading dim so it divides the data axis; padded rows get valid=False."""
+    b = next(iter(batch.values())).shape[0]
+    rem = b % multiple
+    if rem == 0:
+        return batch
+    pad = multiple - rem
+    out = {}
+    for k, v in batch.items():
+        pad_block = np.repeat(v[-1:], pad, axis=0)
+        out[k] = np.concatenate([v, pad_block], axis=0)
+    if "valid" in out:
+        out["valid"][-pad:] = False
+    else:
+        valid = np.ones(b + pad, dtype=bool)
+        valid[-pad:] = False
+        out["valid"] = valid
+    return out

@@ -1,0 +1,257 @@
+"""Trainer: epoch loop, validation, early stopping, checkpointing, resume.
+
+Orchestration parity with the reference's main loop (train.py:200-460):
+  * per-epoch: loader.set_epoch -> train epoch -> validate -> (rank 0) log,
+    best-checkpoint on val-loss improvement > min_delta, early stop on patience;
+  * detailed per-horizon metric dump every `log_every_epochs` epochs
+    (train.py:400-434);
+  * effective batch = batch_size * accumulation_steps * data_parallel
+    (README.md:97).
+
+Beyond the reference (SURVEY.md §5 gaps): full train-state resume (optimizer,
+scheduler step, rng, epoch, patience counter), structured jsonl history, and
+device-sharded input via the mesh instead of DDP/DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tec_mollm_tpu.config import Config
+from tec_mollm_tpu.data.dataset import BatchLoader, SlidingWindowDataset
+from tec_mollm_tpu.data.scaler import StandardScaler
+from tec_mollm_tpu.evaluation.metrics import evaluate_horizons
+from tec_mollm_tpu.graph.builder import GraphData
+from tec_mollm_tpu.models.tec_mollm import TECMoLLM
+from tec_mollm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from tec_mollm_tpu.parallel.partitioning import param_shardings
+from tec_mollm_tpu.training.checkpoint import CheckpointManager
+from tec_mollm_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from tec_mollm_tpu.utils.run_name import make_run_name
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        train_ds: SlidingWindowDataset,
+        val_ds: SlidingWindowDataset | None,
+        graph: GraphData,
+        target_scaler: StandardScaler | None,
+        workdir: str = ".",
+        run_name: str | None = None,
+        mesh=None,
+    ):
+        cfg = cfg.resolved()
+        self.cfg = cfg
+        self.workdir = workdir
+        self.run_name = run_name or make_run_name(
+            cfg.train.L_in,
+            cfg.train.train_stride,
+            cfg.train.batch_size,
+            cfg.train.lr,
+            cfg.model.llm_layers,
+        )
+        self.mesh = mesh if mesh is not None else make_mesh(
+            model_parallel=cfg.train.model_parallel,
+            data_axis=cfg.train.data_axis,
+            model_axis=cfg.train.model_axis,
+        )
+        self.dp = self.mesh.shape[cfg.train.data_axis]
+        self.model = TECMoLLM(
+            cfg.model,
+            dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+            remat_llm=cfg.train.remat_llm,
+        )
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.target_scaler = target_scaler
+        self.ckpt = CheckpointManager(workdir, self.run_name)
+
+        # macro batch = accumulation * microbatch * data-parallel replicas
+        self.macro_batch = (
+            cfg.train.accumulation_steps * cfg.train.batch_size * self.dp
+        )
+        self.train_loader = BatchLoader(
+            train_ds,
+            batch_size=self.macro_batch,
+            shuffle=cfg.train.shuffle,
+            seed=cfg.train.seed,
+            drop_remainder=True,
+        )
+        self.val_loader = (
+            BatchLoader(
+                val_ds,
+                batch_size=max(cfg.train.batch_size * self.dp, self.dp),
+                shuffle=False,
+                drop_remainder=False,
+            )
+            if val_ds is not None
+            else None
+        )
+
+        # graph device constants (replicated)
+        rep = replicated_sharding(self.mesh)
+        self.graph_dev = (
+            jax.device_put(jnp.asarray(graph.neighbors), rep),
+            jax.device_put(jnp.asarray(graph.neighbor_mask), rep),
+        )
+
+        # init state
+        sample = train_ds.gather_batch(np.arange(min(1, len(train_ds))))
+        state, tx, mask = create_train_state(
+            self.model, cfg, jax.random.key(cfg.train.seed), sample, self.graph_dev
+        )
+        p_shard = param_shardings(
+            state.params, self.mesh, cfg.train.model_parallel, cfg.train.model_axis
+        )
+        # Every leaf of the state must live on the mesh: params per their specs,
+        # opt_state/step/rng replicated (adam moments inherit the params' layout
+        # through the first jitted update).
+        state = state.replace(
+            params=jax.device_put(state.params, p_shard),
+            opt_state=jax.device_put(state.opt_state, rep),
+            step=jax.device_put(state.step, rep),
+            rng=jax.device_put(state.rng, rep),
+        )
+        self.state = state
+        self._train_step = jax.jit(make_train_step(self.model, cfg, tx, mask), donate_argnums=0)
+        self._eval_step = jax.jit(make_eval_step(self.model, cfg))
+        self.batch_sharding = batch_sharding(self.mesh, cfg.train.data_axis)
+
+        self.epoch = 0
+        self.best_val_loss = float("inf")
+        self.patience_counter = 0
+        self.history: list[dict[str, Any]] = []
+        os.makedirs(os.path.join(workdir, "logs"), exist_ok=True)
+        self._history_path = os.path.join(workdir, "logs", f"{self.run_name}.jsonl")
+
+    # ------------------------------------------------------------------
+
+    def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
+        arrays = {k: v for k, v in batch.items() if k != "valid"}
+        return jax.tree.map(lambda x: jax.device_put(x, self.batch_sharding), arrays)
+
+    def train_epoch(self) -> dict[str, float]:
+        self.train_loader.set_epoch(self.epoch)
+        total_loss, steps = 0.0, 0
+        t0 = time.perf_counter()
+        for batch in self.train_loader:
+            self.state, metrics = self._train_step(
+                self.state, self._put(batch), self.graph_dev
+            )
+            total_loss += float(metrics["loss"])
+            steps += 1
+        dt = time.perf_counter() - t0
+        windows = steps * self.macro_batch
+        return {
+            "train_loss": total_loss / max(steps, 1),
+            "updates": steps,
+            "windows_per_sec": windows / dt if dt > 0 else 0.0,
+        }
+
+    def validate(self) -> tuple[float, dict[str, Any]]:
+        assert self.val_loader is not None
+        losses, weights = [], []
+        preds_all, trues_all = [], []
+        for batch in self.val_loader:
+            valid = batch["valid"]
+            dev_batch = self._put(batch)
+            dev_batch["valid"] = jax.device_put(valid, self.batch_sharding)
+            loss, preds, trues = self._eval_step(self.state.params, dev_batch, self.graph_dev)
+            n_valid = int(valid.sum())
+            losses.append(float(loss) * n_valid)
+            weights.append(n_valid)
+            preds_all.append(np.asarray(preds)[: n_valid])
+            trues_all.append(np.asarray(trues)[: n_valid])
+        avg_loss = float(np.sum(losses) / max(np.sum(weights), 1))
+        y_pred = np.concatenate(preds_all, axis=0)
+        y_true = np.concatenate(trues_all, axis=0)
+        metrics = evaluate_horizons(y_true, y_pred, self.target_scaler)
+        return avg_loss, metrics
+
+    # ------------------------------------------------------------------
+
+    def fit(self, resume: bool = False) -> list[dict[str, Any]]:
+        cfg = self.cfg
+        if resume and self.ckpt.has_checkpoint("latest"):
+            self.state, meta = self.ckpt.restore_state(self.state, "latest")
+            self.epoch = meta["epoch"] + 1
+            self.best_val_loss = meta["best_val_loss"]
+            self.patience_counter = meta["patience_counter"]
+            logger.info("Resumed from epoch %d (best val %.6f)", self.epoch, self.best_val_loss)
+
+        is_main = jax.process_index() == 0
+        for epoch in range(self.epoch, cfg.train.epochs):
+            self.epoch = epoch
+            train_stats = self.train_epoch()
+            record: dict[str, Any] = {"epoch": epoch, **train_stats}
+
+            if self.val_loader is not None:
+                val_loss, val_metrics = self.validate()
+                record["val_loss"] = val_loss
+                record.update(
+                    {k: val_metrics[k] for k in
+                     ("mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg")}
+                )
+                if is_main:
+                    logger.info(
+                        "epoch %d | train %.4f | val %.4f | %.1f win/s",
+                        epoch, train_stats["train_loss"], val_loss,
+                        train_stats["windows_per_sec"],
+                    )
+                    detailed = (epoch + 1) % cfg.train.log_every_epochs == 0 or (
+                        epoch == cfg.train.epochs - 1
+                    )
+                    if detailed:
+                        logger.info(
+                            "MAE %.6f RMSE %.6f R2 %.6f r %.6f | by-horizon MAE %s",
+                            val_metrics["mae_avg"], val_metrics["rmse_avg"],
+                            val_metrics["r2_score_avg"], val_metrics["pearson_r_avg"],
+                            [round(m, 4) for m in val_metrics["mae_by_horizon"]],
+                        )
+
+                improved = val_loss < self.best_val_loss - cfg.train.min_delta
+                if improved:
+                    self.best_val_loss = val_loss
+                    self.patience_counter = 0
+                    if is_main:
+                        self.ckpt.save_params(self.state.params, "best")
+                        logger.info("new best model (val %.6f)", val_loss)
+                else:
+                    self.patience_counter += 1
+
+            if is_main:
+                self.ckpt.save_state(
+                    self.state,
+                    {
+                        "epoch": epoch,
+                        "best_val_loss": self.best_val_loss,
+                        "patience_counter": self.patience_counter,
+                        "config": json.loads(cfg.to_json()),
+                    },
+                    "latest",
+                )
+                self.history.append(record)
+                with open(self._history_path, "a") as f:
+                    f.write(json.dumps(record) + "\n")
+
+            if self.patience_counter >= cfg.train.patience:
+                logger.info("early stopping at epoch %d", epoch + 1)
+                break
+        return self.history

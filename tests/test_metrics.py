@@ -1,0 +1,98 @@
+"""Metric suite tests: first-party implementations vs sklearn/scipy, plus the
+reference's guard/clip semantics (metrics.py:30-89, :119-183)."""
+
+import numpy as np
+import pytest
+
+from tec_mollm_tpu.data.scaler import StandardScaler
+from tec_mollm_tpu.evaluation.metrics import evaluate_horizons, evaluate_metrics
+
+
+@pytest.fixture()
+def scaled_pair(rng):
+    # keep physical values inside [0, 200] so the pred clip stays a no-op except
+    # where tests exercise it explicitly
+    y_true = np.clip(rng.normal(50, 20, size=(40, 12, 30, 1)), 1.0, 199.0)
+    y_pred = np.clip(y_true + rng.normal(0, 5, size=y_true.shape), 0.5, 199.5)
+    scaler = StandardScaler().fit(y_true.reshape(-1, 1))
+    return (
+        scaler.transform(y_true.reshape(-1, 1)).reshape(y_true.shape),
+        scaler.transform(y_pred.reshape(-1, 1)).reshape(y_pred.shape),
+        scaler,
+    )
+
+
+class TestEvaluateMetrics:
+    def test_matches_sklearn_scipy(self, scaled_pair):
+        from scipy.stats import pearsonr
+        from sklearn.metrics import mean_absolute_error, mean_squared_error, r2_score
+
+        yt_s, yp_s, scaler = scaled_pair
+        got = evaluate_metrics(yt_s[:, 0], yp_s[:, 0], scaler)
+
+        yt = scaler.inverse_transform(yt_s[:, 0].reshape(-1, 1)).reshape(yt_s[:, 0].shape)
+        yp = scaler.inverse_transform(yp_s[:, 0].reshape(-1, 1)).reshape(yp_s[:, 0].shape)
+        yp = np.clip(yp, 0, 200)
+        yt2 = yt.reshape(-1, 1)
+        yp2 = yp.reshape(-1, 1)
+        assert got["mae"] == pytest.approx(mean_absolute_error(yt2, yp2), rel=1e-9)
+        assert got["rmse"] == pytest.approx(np.sqrt(mean_squared_error(yt2, yp2)), rel=1e-9)
+        assert got["r2_score"] == pytest.approx(r2_score(yt2, yp2), rel=1e-9)
+        assert got["pearson_r"] == pytest.approx(
+            pearsonr(yt2.ravel(), yp2.ravel())[0], rel=1e-9
+        )
+
+    def test_prediction_clipping(self):
+        """preds clip to [0, 200] TECU, true values do not (metrics.py:51-52)."""
+        yt = np.array([[250.0], [100.0]])
+        yp = np.array([[250.0], [-50.0]])
+        m = evaluate_metrics(yt, yp, scaler=None)
+        # pred 250 -> 200 (err 50), pred -50 -> 0 (err 100)
+        assert m["mae"] == pytest.approx(75.0)
+
+    def test_nonfinite_guard_after_inverse(self):
+        scaler = StandardScaler(mean=np.array([0.0]), scale=np.array([1.0]))
+        yt = np.array([[1.0], [2.0]])
+        yp = np.array([[np.inf], [np.nan]])
+        m = evaluate_metrics(yt, yp, scaler)
+        # +inf -> 100, nan -> 0 (metrics.py:41-47)
+        assert m["mae"] == pytest.approx((abs(1 - 100) + abs(2 - 0)) / 2)
+
+    def test_zero_variance_pearson_guard(self):
+        yt = np.full((5, 1), 7.0)
+        yp = np.full((5, 1), 7.0)
+        m = evaluate_metrics(yt, yp, scaler=None)
+        assert m["pearson_r"] == 0.0
+        assert m["r2_score"] == 1.0  # perfect prediction of constant
+
+
+class TestEvaluateHorizons:
+    def test_structure_and_averages(self, scaled_pair):
+        yt, yp, scaler = scaled_pair
+        out = evaluate_horizons(yt, yp, scaler)
+        assert len(out["mae_by_horizon"]) == 12
+        assert out["mae_avg"] == pytest.approx(np.mean(out["mae_by_horizon"]))
+        assert out["rmse_avg"] == pytest.approx(np.mean(out["rmse_by_horizon"]))
+
+    def test_scaled_nonfinite_pred_guard(self, scaled_pair):
+        """non-finite predictions clamp to 0 in SCALED space first (metrics.py:137-144)."""
+        yt, yp, scaler = scaled_pair
+        yp = yp.copy()
+        yp[0, 0, 0, 0] = np.inf
+        out = evaluate_horizons(yt, yp, scaler)
+        assert np.isfinite(out["mae_avg"])
+
+    def test_scaler_from_path(self, scaled_pair, tmp_path):
+        yt, yp, scaler = scaled_pair
+        path = str(tmp_path / "tscaler.npz")
+        scaler.save(path)
+        out_obj = evaluate_horizons(yt, yp, scaler)
+        out_path = evaluate_horizons(yt, yp, path)
+        assert out_obj["mae_avg"] == pytest.approx(out_path["mae_avg"])
+
+    def test_perfect_prediction(self, scaled_pair):
+        yt, _, scaler = scaled_pair
+        out = evaluate_horizons(yt, yt, scaler)
+        assert out["mae_avg"] == pytest.approx(0.0, abs=1e-9)
+        assert out["r2_score_avg"] == pytest.approx(1.0)
+        assert out["pearson_r_avg"] == pytest.approx(1.0)

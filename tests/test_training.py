@@ -1,0 +1,200 @@
+"""Training stack tests: schedule vs torch golden, trainable mask, loss, train step
+semantics (accumulation equivalence, frozen params immobile), end-to-end smoke fit."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tec_mollm_tpu.config import tiny_config
+from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+from tec_mollm_tpu.data.synthetic import synthetic_processed_split
+from tec_mollm_tpu.models import TECMoLLM
+from tec_mollm_tpu.training.loss import huber_loss
+from tec_mollm_tpu.training.optimizer import build_optimizer, trainable_mask
+from tec_mollm_tpu.training.schedule import cosine_annealing_warm_restarts
+from tec_mollm_tpu.training.train_state import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class TestSchedule:
+    @pytest.mark.parametrize("t_mult", [1, 2, 3])
+    def test_matches_torch_scheduler(self, t_mult):
+        torch = pytest.importorskip("torch")
+
+        base_lr, t0, eta_min = 1e-4, 10, 1e-7
+        sched = cosine_annealing_warm_restarts(base_lr, t0, t_mult, eta_min)
+
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=t0, T_mult=t_mult, eta_min=eta_min
+        )
+        torch_lrs = []
+        for _ in range(100):
+            torch_lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            tsched.step()
+        ours = [float(sched(jnp.asarray(s))) for s in range(100)]
+        np.testing.assert_allclose(ours, torch_lrs, rtol=1e-5, atol=1e-10)
+
+    def test_restart_boundaries(self):
+        sched = cosine_annealing_warm_restarts(1e-3, 10, 2, 0.0)
+        # restarts at steps 10 and 30: lr returns to base
+        assert float(sched(jnp.asarray(10))) == pytest.approx(1e-3, rel=1e-6)
+        assert float(sched(jnp.asarray(30))) == pytest.approx(1e-3, rel=1e-6)
+        # mid-cycle is below base
+        assert float(sched(jnp.asarray(5))) < 1e-3
+
+
+class TestHuber:
+    def test_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(4, 5)).astype(np.float32) * 3
+        b = rng.normal(size=(4, 5)).astype(np.float32)
+        ours = float(huber_loss(jnp.asarray(a), jnp.asarray(b), delta=1.0))
+        theirs = float(
+            torch.nn.HuberLoss(delta=1.0)(torch.from_numpy(a), torch.from_numpy(b))
+        )
+        assert ours == pytest.approx(theirs, rel=1e-6)
+
+    def test_weighted(self):
+        a = jnp.ones((4, 2)) * 10
+        b = jnp.zeros((4, 2))
+        w = jnp.array([1.0, 1.0, 0.0, 0.0])[:, None]
+        full = huber_loss(a, b, weights=None)
+        half = huber_loss(a, b, weights=w)
+        assert float(half) == pytest.approx(float(full))  # uniform errs: same mean
+
+
+@pytest.fixture(scope="module")
+def train_setup(tiny_graph):
+    cfg = tiny_config()
+    m = cfg.model
+    split = synthetic_processed_split(
+        num_windows=40, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+        num_nodes=m.num_nodes, seed=0,
+    )
+    ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=1)
+    model = TECMoLLM(m)
+    graph = (
+        jnp.asarray(tiny_graph.neighbors),
+        jnp.asarray(tiny_graph.neighbor_mask),
+    )
+    sample = ds.gather_batch(np.arange(4))
+    state, tx, mask = create_train_state(model, cfg, jax.random.key(0), sample, graph)
+    return cfg, model, ds, graph, state, tx, mask
+
+
+class TestTrainableMask:
+    def test_reference_freeze_policy(self, train_setup):
+        """trainable: everything non-LLM + LLM lora_/ln_/wpe; frozen: GPT-2 base
+        weights (reference modules.py:195-203)."""
+        _, _, _, _, state, _, mask = train_setup
+        flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+        by_path = {"/".join(str(getattr(k, "key", k)) for k in path): v for path, v in flat}
+        assert by_path["embedding/node/embedding"] is True
+        assert by_path["spatial/gat/lin_l/kernel"] is True
+        assert by_path["head/fc1/kernel"] is True
+        assert by_path["llm/wpe"] is True
+        assert by_path["llm/ln_f/scale"] is True
+        assert by_path["llm/h_0/ln_1/bias"] is True
+        assert by_path["llm/h_0/attn/c_attn/lora_A"] is True
+        assert by_path["llm/h_0/attn/c_attn/lora_B"] is True
+        assert by_path["llm/h_0/attn/c_attn/kernel"] is False
+        assert by_path["llm/h_0/attn/c_proj/kernel"] is False
+        assert by_path["llm/h_0/mlp/c_fc/kernel"] is False
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_frozen_immobile(self, train_setup):
+        cfg, model, ds, graph, state, tx, mask = train_setup
+        step = jax.jit(make_train_step(model, cfg, tx, mask))
+        batch = jax.tree.map(
+            jnp.asarray,
+            ds.gather_batch(np.arange(cfg.train.accumulation_steps * cfg.train.batch_size)),
+        )
+        frozen_before = np.asarray(state.params["llm"]["h_0"]["attn"]["c_attn"]["kernel"])
+        losses = []
+        s = state
+        for _ in range(8):
+            s, metrics = step(s, batch, graph)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]  # overfits a fixed batch
+        frozen_after = np.asarray(s.params["llm"]["h_0"]["attn"]["c_attn"]["kernel"])
+        np.testing.assert_array_equal(frozen_before, frozen_after)
+        # trainable params moved
+        assert not np.allclose(
+            state.params["head"]["fc2"]["kernel"], s.params["head"]["fc2"]["kernel"]
+        )
+        assert not np.allclose(
+            state.params["llm"]["h_0"]["attn"]["c_attn"]["lora_B"],
+            s.params["llm"]["h_0"]["attn"]["c_attn"]["lora_B"],
+        )
+        assert int(s.step) == 8
+
+    def test_eval_step_masks_padding(self, train_setup):
+        cfg, model, ds, graph, state, tx, mask = train_setup
+        eval_step = jax.jit(make_eval_step(model, cfg))
+        batch = ds.gather_batch(np.arange(4))
+        batch["valid"] = np.array([True, True, False, False])
+        dev = jax.tree.map(jnp.asarray, batch)
+        loss_padded, preds, _ = eval_step(state.params, dev, graph)
+
+        batch2 = ds.gather_batch(np.arange(2))
+        dev2 = jax.tree.map(jnp.asarray, batch2)
+        loss_clean, _, _ = eval_step(state.params, dev2, graph)
+        assert float(loss_padded) == pytest.approx(float(loss_clean), rel=1e-5)
+
+
+class TestTrainerEndToEnd:
+    def test_fit_smoke_with_early_stop_and_resume(self, tiny_graph, tmp_path):
+        import dataclasses
+
+        from tec_mollm_tpu.training.trainer import Trainer
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, epochs=2, accumulation_steps=2, batch_size=2,
+                model_parallel=1,
+            ),
+        )
+        m = cfg.model
+        split = synthetic_processed_split(
+            num_windows=20, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=m.num_nodes, seed=1,
+        )
+        train_ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=2)
+        val_ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=4)
+
+        from tec_mollm_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data_parallel=2, model_parallel=1, devices=jax.devices()[:2])
+        trainer = Trainer(
+            cfg, train_ds, val_ds, tiny_graph, target_scaler=None,
+            workdir=str(tmp_path), run_name="smoke", mesh=mesh,
+        )
+        history = trainer.fit()
+        assert len(history) == 2
+        assert "val_loss" in history[0]
+        assert "mae_avg" in history[0]
+        assert trainer.ckpt.has_checkpoint("latest")
+
+        # resume continues from epoch 2
+        cfg3 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=3)
+        )
+        trainer2 = Trainer(
+            cfg3, train_ds, val_ds, tiny_graph, target_scaler=None,
+            workdir=str(tmp_path), run_name="smoke", mesh=mesh,
+        )
+        history2 = trainer2.fit(resume=True)
+        assert [h["epoch"] for h in history2] == [2]
+        assert int(trainer2.state.step) > 0
