@@ -1,0 +1,133 @@
+"""Benchmark: train windows/sec/chip at L_in=48 / L_out=12 (BASELINE.md target).
+
+Runs the FULL flagship training step (fwd+bwd+masked AdamW, bf16, grad-accum scan)
+on synthetic data with the real 2911-node graph, on the available device(s), and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is vs BASELINE.json `published` (the reference publishes no numbers —
+SURVEY.md §6 — so the first recorded value of this harness becomes the baseline;
+until then vs_baseline = 1.0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=4, help="microbatch per step")
+    parser.add_argument("--accum", type=int, default=1, help="grad accumulation steps")
+    parser.add_argument("--steps", type=int, default=20, help="timed optimizer updates")
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--quick", action="store_true", help="tiny model, 3 steps (CI)")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--no-remat", action="store_true", help="disable LLM remat")
+    parser.add_argument("--no-bf16", action="store_true", help="fp32 compute")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tec_mollm_tpu.config import Config, tiny_config
+    from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+    from tec_mollm_tpu.data.synthetic import grid_coordinates, synthetic_processed_split
+    from tec_mollm_tpu.graph import build_graph
+    from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.training.train_state import create_train_state, make_train_step
+
+    if args.quick:
+        cfg = tiny_config()
+        steps = 3
+    else:
+        cfg = Config().resolved()
+        steps = args.steps
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=args.batch_size,
+            accumulation_steps=args.accum,
+            remat_llm=not args.no_remat,
+            bf16=not args.no_bf16,
+        ),
+    )
+    m = cfg.model
+
+    lat, lon = grid_coordinates(m.grid_h, m.grid_w)
+    graph_np = build_graph(lat, lon, distance_threshold_km=cfg.data.distance_threshold_km)
+
+    macro = cfg.train.batch_size * cfg.train.accumulation_steps
+    split = synthetic_processed_split(
+        num_windows=macro + 1,
+        L_in=cfg.train.L_in,
+        L_out=cfg.train.L_out,
+        num_nodes=m.num_nodes,
+        seed=0,
+    )
+    ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out)
+    batch_np = ds.gather_batch(np.arange(macro) % max(len(ds), 1))
+
+    model = TECMoLLM(
+        m,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        remat_llm=cfg.train.remat_llm,
+    )
+    graph = (jnp.asarray(graph_np.neighbors), jnp.asarray(graph_np.neighbor_mask))
+    state, tx, mask = create_train_state(model, cfg, jax.random.key(0), batch_np, graph)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    step_fn = jax.jit(make_train_step(model, cfg, tx, mask), donate_argnums=0)
+
+    for _ in range(args.warmup):
+        state, metrics = step_fn(state, batch, graph)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch, graph)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    windows_per_sec_per_chip = steps * macro / elapsed / n_chips
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+            published = json.load(f).get("published", {})
+        baseline = published.get("train_windows_per_sec_per_chip")
+    except (OSError, json.JSONDecodeError):
+        pass
+    vs_baseline = (
+        windows_per_sec_per_chip / baseline if baseline else 1.0
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_windows_per_sec_per_chip",
+                "value": round(windows_per_sec_per_chip, 3),
+                "unit": "windows/s/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,168 @@
+"""Offline preprocessing CLI: raw HDF5 -> standardized npz splits + scalers + graph.
+
+Pipeline parity with reference scripts/preprocess.py:17-106 plus the graph build the
+reference keeps in a separate __main__ (graph_constructor.py:151-228):
+  1. load + aggregate + split the per-year HDF5 files;
+  2. build aligned (X, Y, time_features) per split;
+  3. fit feature scaler on train X, transform all splits (scaler.npz);
+  4. fit target scaler on train Y, scale Y everywhere (target_scaler.npz);
+  5. save {split}_set.npz with node-flattened X (T,N,C), Y (T,N,L_out), tf (T,4);
+  6. build the geographic graph from the file coordinates -> graph.npz.
+
+`--synthetic N` generates an N-step synthetic dataset instead of reading HDF5 —
+the hermetic path used by tests/CI (the reference requires ~GB real files for any
+run, SURVEY.md §4).
+
+Usage:
+    python -m tec_mollm_tpu.data.preprocess [--raw-dir data/raw] [--out data/processed]
+    python -m tec_mollm_tpu.data.preprocess --synthetic 2000 --out /tmp/proc
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import numpy as np
+
+from tec_mollm_tpu.config import Config, DataConfig
+from tec_mollm_tpu.data.features import (
+    build_split_tensors,
+    standardize_features,
+    standardize_targets,
+)
+from tec_mollm_tpu.data.hdf5_io import load_and_split_data, split_by_time
+from tec_mollm_tpu.data.synthetic import synthetic_raw_data
+from tec_mollm_tpu.graph.builder import build_graph
+from tec_mollm_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def flatten_grid(split: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """(T, H, W, C) -> (T, H*W, C): done once offline instead of per batch
+    (reference reshapes per batch, train.py:62)."""
+    t = split["X"].shape[0]
+    return {
+        "X": split["X"].reshape(t, -1, split["X"].shape[-1]).astype(np.float32),
+        "Y": split["Y"].reshape(t, -1, split["Y"].shape[-1]).astype(np.float32),
+        "time_features": split["time_features"].astype(np.int32),
+    }
+
+
+def run_preprocess(
+    data_cfg: DataConfig,
+    out_dir: str,
+    synthetic_steps: int | None = None,
+    synthetic_grid: tuple[int, int] = (41, 71),
+    seed: int = 0,
+) -> dict[str, int]:
+    os.makedirs(out_dir, exist_ok=True)
+
+    if synthetic_steps is not None:
+        gh, gw = synthetic_grid
+        raw = synthetic_raw_data(
+            num_steps=synthetic_steps, grid_h=gh, grid_w=gw,
+            start="2020-01-01T00:00:00", seed=seed,
+        )
+        # spread synthetic time range so all three splits are populated:
+        # 60% train (<=2021), 25% val (2022-23), 15% test (>=2024)
+        t = synthetic_steps
+        times = np.concatenate([
+            np.datetime64("2021-01-01T00:00:00", "s")
+            + np.arange(int(t * 0.6)) * np.timedelta64(7200, "s"),
+            np.datetime64("2022-01-01T00:00:00", "s")
+            + np.arange(int(t * 0.25)) * np.timedelta64(7200, "s"),
+            np.datetime64("2024-01-01T00:00:00", "s")
+            + np.arange(t - int(t * 0.6) - int(t * 0.25)) * np.timedelta64(7200, "s"),
+        ])
+        raw["time"] = times
+        splits = split_by_time(
+            raw, data_cfg.train_end, data_cfg.val_start, data_cfg.val_end,
+            data_cfg.test_start,
+        )
+    else:
+        paths = [p for p in data_cfg.file_paths() if os.path.exists(p)]
+        if not paths:
+            raise FileNotFoundError(
+                f"No HDF5 files found under {data_cfg.raw_dir} "
+                f"(expected {data_cfg.file_pattern})"
+            )
+        logger.info("loading %d HDF5 files", len(paths))
+        splits = load_and_split_data(
+            paths, data_cfg.train_end, data_cfg.val_start, data_cfg.val_end,
+            data_cfg.test_start,
+        )
+
+    tensors = build_split_tensors(splits, horizon=data_cfg.horizon)
+    tensors, _ = standardize_features(
+        tensors, scaler_path=os.path.join(out_dir, "scaler.npz")
+    )
+    tensors, _ = standardize_targets(
+        tensors, scaler_path=os.path.join(out_dir, "target_scaler.npz")
+    )
+
+    sizes = {}
+    for name, data in tensors.items():
+        flat = flatten_grid(data)
+        np.savez(os.path.join(out_dir, f"{name}_set.npz"), **flat)
+        sizes[name] = flat["X"].shape[0]
+        logger.info("saved %s_set.npz: X %s", name, flat["X"].shape)
+
+    lat = splits["train"]["latitude"]
+    lon = splits["train"]["longitude"]
+    graph = build_graph(
+        lat, lon,
+        distance_threshold_km=data_cfg.distance_threshold_km,
+        earth_radius_km=data_cfg.earth_radius_km,
+    )
+    graph.save(os.path.join(out_dir, "graph.npz"))
+    logger.info(
+        "saved graph.npz: %d nodes, %d edges, max degree %d",
+        graph.num_nodes, graph.edge_index.shape[1], graph.max_degree,
+    )
+
+    with open(os.path.join(out_dir, "preprocess_meta.json"), "w") as f:
+        json.dump(
+            {
+                "sizes": sizes,
+                "horizon": data_cfg.horizon,
+                "grid": [len(lat), len(lon)],
+                "synthetic": synthetic_steps is not None,
+            },
+            f,
+        )
+    return sizes
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Offline preprocessing")
+    parser.add_argument("--raw-dir", default="data/raw")
+    parser.add_argument("--out", default="data/processed")
+    parser.add_argument("--horizon", type=int, default=12)
+    parser.add_argument("--synthetic", type=int, default=None, metavar="STEPS",
+                        help="generate a synthetic dataset with STEPS timesteps")
+    parser.add_argument("--synthetic-grid", type=int, nargs=2, default=(41, 71))
+    parser.add_argument("--config", default=None, help="config json path")
+    args = parser.parse_args()
+
+    setup_logging()
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+        data_cfg = cfg.data
+    else:
+        data_cfg = DataConfig(raw_dir=args.raw_dir, horizon=args.horizon)
+
+    sizes = run_preprocess(
+        data_cfg, args.out,
+        synthetic_steps=args.synthetic,
+        synthetic_grid=tuple(args.synthetic_grid),
+    )
+    logger.info("done: %s", sizes)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,7 +120,9 @@ def synthetic_processed_split(
     """Directly fabricate a processed split {X, Y, time_features} (already standardized)
     of exactly the length needed for `num_windows` stride-1 windows."""
     rng = np.random.default_rng(seed)
-    t = num_windows + L_in - 1 + 1  # windows = T - L_in + 1 (Y pre-aligned)
+    # SlidingWindowDataset counts T - L_in - L_out + 1 stride-1 windows
+    # (reference dataset.py:46), so:
+    t = num_windows + L_in + L_out - 1
     x = rng.normal(0, 1, size=(t, num_nodes, in_features)).astype(np.float32)
     y = rng.normal(0, 1, size=(t, num_nodes, L_out)).astype(np.float32)
     steps = np.arange(t)

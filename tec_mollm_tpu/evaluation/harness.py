@@ -1,0 +1,200 @@
+"""Evaluation harness: trained model vs Historical-Average baseline on the test split.
+
+Behavioral contract (reference /root/reference/test.py):
+  * test dataset stride 1 (test.py:129-135);
+  * checkpoint resolution including "latest" by mtime (test.py:73-89, :167-172);
+  * model inference with the same reshapes as validation (test.py:19-44);
+  * window-mean HA baseline (test.py:46-71);
+  * evaluate_horizons for both, improvement % per metric (test.py:243-256);
+  * results CSV + text summary (test.py:260-278).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any
+
+import numpy as np
+
+from tec_mollm_tpu.config import Config
+from tec_mollm_tpu.data.dataset import BatchLoader, SlidingWindowDataset
+from tec_mollm_tpu.data.scaler import StandardScaler
+from tec_mollm_tpu.evaluation.metrics import evaluate_horizons
+from tec_mollm_tpu.graph.builder import GraphData
+from tec_mollm_tpu.models.baselines import WindowMeanBaseline
+from tec_mollm_tpu.training.checkpoint import CheckpointManager, find_latest_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def get_model_predictions(
+    cfg: Config,
+    params: Any,
+    dataset: SlidingWindowDataset,
+    graph: GraphData,
+    batch_size: int = 16,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run inference over the whole dataset -> (y_true, y_pred), each
+    (num_samples, L_out, N, 1) in scaled units."""
+    import jax
+    import jax.numpy as jnp
+
+    from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.training.train_state import make_eval_step
+
+    model = TECMoLLM(
+        cfg.model, dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+    )
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    graph_dev = (jnp.asarray(graph.neighbors), jnp.asarray(graph.neighbor_mask))
+
+    loader = BatchLoader(dataset, batch_size=batch_size, drop_remainder=False, prefetch=2)
+    preds_all, trues_all = [], []
+    for batch in loader:
+        valid = batch.pop("valid")
+        dev = jax.tree.map(jnp.asarray, batch)
+        dev["valid"] = jnp.asarray(valid)
+        _, preds, trues = eval_step(params, dev, graph_dev)
+        n_valid = int(valid.sum())
+        preds_all.append(np.asarray(preds)[:n_valid])
+        trues_all.append(np.asarray(trues)[:n_valid])
+    return np.concatenate(trues_all), np.concatenate(preds_all)
+
+
+def get_baseline_predictions(dataset: SlidingWindowDataset, L_out: int) -> np.ndarray:
+    """(num_samples, L_out, N, 1) — scaled window-mean of the TEC channel."""
+    return WindowMeanBaseline().predict_dataset(dataset, L_out)
+
+
+def improvement_report(model_metrics: dict, baseline_metrics: dict) -> dict[str, float]:
+    """Improvement % per metric (reference test.py:243-256)."""
+    out = {}
+    out["mae_improvement_pct"] = (
+        (baseline_metrics["mae_avg"] - model_metrics["mae_avg"])
+        / baseline_metrics["mae_avg"] * 100.0
+    )
+    out["rmse_improvement_pct"] = (
+        (baseline_metrics["rmse_avg"] - model_metrics["rmse_avg"])
+        / baseline_metrics["rmse_avg"] * 100.0
+    )
+    out["r2_improvement_pct"] = (
+        (model_metrics["r2_score_avg"] - baseline_metrics["r2_score_avg"])
+        / abs(baseline_metrics["r2_score_avg"]) * 100.0
+    )
+    out["pearson_improvement_pct"] = (
+        (model_metrics["pearson_r_avg"] - baseline_metrics["pearson_r_avg"])
+        / baseline_metrics["pearson_r_avg"] * 100.0
+    )
+    return out
+
+
+def write_results(
+    results: dict[str, dict], improvements: dict[str, float], output_dir: str
+) -> tuple[str, str]:
+    """evaluation_results.csv + evaluation_summary.txt (reference test.py:260-278)."""
+    os.makedirs(output_dir, exist_ok=True)
+    csv_path = os.path.join(output_dir, "evaluation_results.csv")
+    scalar_keys = ["mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg"]
+    horizon_keys = ["mae_by_horizon", "rmse_by_horizon", "r2_by_horizon", "pearson_by_horizon"]
+    with open(csv_path, "w") as f:
+        n_h = len(next(iter(results.values()))["mae_by_horizon"])
+        cols = scalar_keys + [
+            f"{k[:-11]}_h{h+1}" for k in horizon_keys for h in range(n_h)
+        ]
+        f.write("model," + ",".join(cols) + "\n")
+        for name, m in results.items():
+            vals = [f"{m[k]:.6f}" for k in scalar_keys]
+            vals += [
+                f"{m[k][h]:.6f}" for k in horizon_keys for h in range(n_h)
+            ]
+            f.write(name + "," + ",".join(vals) + "\n")
+
+    txt_path = os.path.join(output_dir, "evaluation_summary.txt")
+    with open(txt_path, "w") as f:
+        f.write("TEC-MoLLM evaluation summary\n")
+        f.write("=" * 50 + "\n\n")
+        for name, m in results.items():
+            f.write(f"{name}:\n")
+            f.write(f"  MAE avg:      {m['mae_avg']:.6f}\n")
+            f.write(f"  RMSE avg:     {m['rmse_avg']:.6f}\n")
+            f.write(f"  R2 avg:       {m['r2_score_avg']:.6f}\n")
+            f.write(f"  Pearson avg:  {m['pearson_r_avg']:.6f}\n\n")
+        f.write("Improvement vs HistoricalAverage:\n")
+        for k, v in improvements.items():
+            f.write(f"  {k}: {v:+.2f}%\n")
+    return csv_path, txt_path
+
+
+def resolve_checkpoint(
+    checkpoint: str, workdir: str = "."
+) -> str:
+    """'latest' -> most recent best_params dir; else use the given path."""
+    if checkpoint == "latest":
+        return find_latest_checkpoint(os.path.join(workdir, "checkpoints"))
+    return checkpoint
+
+
+def load_params_for_eval(cfg: Config, checkpoint_path: str, graph: GraphData) -> Any:
+    """Restore best_params into a freshly initialized template."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from tec_mollm_tpu.models import TECMoLLM
+
+    m = cfg.model
+    model = TECMoLLM(m)
+    x = jnp.zeros((1, m.temporal_seq_len, m.num_nodes, m.in_features))
+    tf = jnp.zeros((1, m.temporal_seq_len, 4), jnp.int32)
+    template = model.init(
+        jax.random.key(0), x, tf,
+        jnp.asarray(graph.neighbors), jnp.asarray(graph.neighbor_mask),
+    )["params"]
+    return ocp.StandardCheckpointer().restore(
+        os.path.abspath(checkpoint_path), jax.device_get(template)
+    )
+
+
+def run_evaluation(
+    cfg: Config,
+    data_dir: str,
+    checkpoint: str,
+    output_dir: str = "results",
+    batch_size: int = 16,
+    workdir: str = ".",
+) -> dict[str, Any]:
+    cfg = cfg.resolved()
+    test_ds = SlidingWindowDataset.from_dir(
+        data_dir, "test", cfg.train.L_in, cfg.train.L_out, stride=1
+    )
+    graph = GraphData.load(os.path.join(data_dir, "graph.npz"))
+    tscaler_path = os.path.join(data_dir, "target_scaler.npz")
+    scaler = StandardScaler.load(tscaler_path) if os.path.exists(tscaler_path) else None
+
+    ckpt_path = resolve_checkpoint(checkpoint, workdir)
+    logger.info("checkpoint: %s", ckpt_path)
+    params = load_params_for_eval(cfg, ckpt_path, graph)
+
+    logger.info("running model inference over %d test windows", len(test_ds))
+    y_true, y_pred = get_model_predictions(cfg, params, test_ds, graph, batch_size)
+    y_pred_ha = get_baseline_predictions(test_ds, cfg.train.L_out)
+
+    n = min(len(y_true), len(y_pred_ha))
+    results = {
+        "TEC-MoLLM": evaluate_horizons(y_true[:n], y_pred[:n], scaler),
+        "HistoricalAverage": evaluate_horizons(y_true[:n], y_pred_ha[:n], scaler),
+    }
+    improvements = improvement_report(results["TEC-MoLLM"], results["HistoricalAverage"])
+    csv_path, txt_path = write_results(results, improvements, output_dir)
+    logger.info("results: %s, %s", csv_path, txt_path)
+    for name, m in results.items():
+        logger.info(
+            "%s: MAE %.4f RMSE %.4f R2 %.4f r %.4f",
+            name, m["mae_avg"], m["rmse_avg"], m["r2_score_avg"], m["pearson_r_avg"],
+        )
+    logger.info(
+        "improvement vs HA: MAE %+.2f%% RMSE %+.2f%%",
+        improvements["mae_improvement_pct"], improvements["rmse_improvement_pct"],
+    )
+    return {"results": results, "improvements": improvements}

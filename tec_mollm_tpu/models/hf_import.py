@@ -112,6 +112,33 @@ def merge_gpt2_params(existing: dict[str, Any], imported: dict[str, Any]) -> dic
     return merged
 
 
+def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Load a torch state_dict from a .pt/.bin/.pth file, a safetensors file, or an
+    HF model directory (pytorch_model.bin / model.safetensors)."""
+    import os
+
+    if os.path.isdir(path):
+        for name in ("pytorch_model.bin", "model.safetensors"):
+            candidate = os.path.join(path, name)
+            if os.path.exists(candidate):
+                path = candidate
+                break
+        else:
+            raise FileNotFoundError(f"No model weights found in directory {path}")
+
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: _to_numpy(v) for k, v in obj.items()}
+
+
 def load_gpt2_into_model_params(
     model_params: dict[str, Any],
     state_dict: Mapping[str, Any],

@@ -1,0 +1,73 @@
+"""Evaluation CLI: model vs Historical-Average baseline on the test split.
+
+Replaces /root/reference/test.py. Examples:
+    python test.py --data-dir data/processed --checkpoint latest
+    python test.py --data-dir /tmp/proc --checkpoint checkpoints/run/best_params
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Evaluate TEC-MoLLM vs HA baseline")
+    p.add_argument("--data-dir", default="data/processed")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--checkpoint", default="latest",
+                   help="'latest' or a best_params checkpoint directory")
+    p.add_argument("--output-dir", default="results")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--L-in", type=int, default=48)
+    p.add_argument("--L-out", type=int, default=12)
+    p.add_argument("--d-emb", type=int, default=16)
+    p.add_argument("--llm-layers", type=int, default=3)
+    p.add_argument("--config", default=None,
+                   help="config json (e.g. checkpoints/<run>/config.json); "
+                        "overrides the individual model flags")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from tec_mollm_tpu.config import Config, ModelConfig, TrainConfig
+    from tec_mollm_tpu.evaluation.harness import run_evaluation
+    from tec_mollm_tpu.utils.logging import setup_logging
+
+    setup_logging(process_index=jax.process_index())
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        # try config.json next to the checkpoint (written by train.py)
+        cfg = None
+        if args.checkpoint not in (None, "latest"):
+            candidate = os.path.join(os.path.dirname(args.checkpoint), "config.json")
+            if os.path.exists(candidate):
+                with open(candidate) as f:
+                    cfg = Config.from_json(f.read())
+        if cfg is None:
+            cfg = Config(
+                model=ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers),
+                train=TrainConfig(L_in=args.L_in, L_out=args.L_out),
+            )
+
+    run_evaluation(
+        cfg.resolved(),
+        data_dir=args.data_dir,
+        checkpoint=args.checkpoint,
+        output_dir=args.output_dir,
+        batch_size=args.batch_size,
+        workdir=args.workdir,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Multi-device tests on the virtual 8-CPU-device mesh: DP loss parity vs single
+device, tensor-parallel sharding correctness, batch sharding."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tec_mollm_tpu.config import tiny_config
+from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+from tec_mollm_tpu.data.synthetic import synthetic_processed_split
+from tec_mollm_tpu.models import TECMoLLM
+from tec_mollm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from tec_mollm_tpu.parallel.partitioning import param_pspecs, param_shardings
+from tec_mollm_tpu.training.train_state import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_graph):
+    cfg = tiny_config()
+    m = cfg.model
+    split = synthetic_processed_split(
+        num_windows=40, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+        num_nodes=m.num_nodes, seed=3,
+    )
+    ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=1)
+    graph_np = (tiny_graph.neighbors, tiny_graph.neighbor_mask)
+    return cfg, ds, graph_np
+
+
+def _run_steps(cfg, ds, graph_np, mesh, model_parallel, n_steps=2):
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, model_parallel=model_parallel)
+    )
+    model = TECMoLLM(cfg.model)
+    rep = replicated_sharding(mesh)
+    graph = tuple(jax.device_put(jnp.asarray(g), rep) for g in graph_np)
+    batch_np = ds.gather_batch(
+        np.arange(cfg.train.accumulation_steps * cfg.train.batch_size * 4)
+    )
+    state, tx, mask = create_train_state(
+        model, cfg, jax.random.key(0), batch_np, graph
+    )
+    p_shard = param_shardings(state.params, mesh, model_parallel, cfg.train.model_axis)
+    state = state.replace(
+        params=jax.device_put(state.params, p_shard),
+        opt_state=jax.device_put(state.opt_state, rep),
+        step=jax.device_put(state.step, rep),
+        rng=jax.device_put(state.rng, rep),
+    )
+    bs = batch_sharding(mesh, cfg.train.data_axis)
+    batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), batch_np)
+    step_fn = jax.jit(make_train_step(model, cfg, tx, mask))
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, batch, graph)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+class TestDataParallel:
+    def test_dp8_matches_single_device(self, setup):
+        cfg, ds, graph_np = setup
+        mesh8 = make_mesh(data_parallel=8, model_parallel=1)
+        mesh1 = make_mesh(data_parallel=1, model_parallel=1, devices=jax.devices()[:1])
+        losses8, _ = _run_steps(cfg, ds, graph_np, mesh8, 1)
+        losses1, _ = _run_steps(cfg, ds, graph_np, mesh1, 1)
+        np.testing.assert_allclose(losses8, losses1, rtol=2e-4)
+
+    def test_params_stay_replicated_after_update(self, setup):
+        cfg, ds, graph_np = setup
+        mesh = make_mesh(data_parallel=4, model_parallel=1, devices=jax.devices()[:4])
+        _, state = _run_steps(cfg, ds, graph_np, mesh, 1, n_steps=1)
+        k = state.params["head"]["fc2"]["kernel"]
+        assert k.sharding.is_fully_replicated
+
+
+class TestTensorParallel:
+    def test_dp4_tp2_matches_single_device(self, setup):
+        cfg, ds, graph_np = setup
+        mesh = make_mesh(data_parallel=4, model_parallel=2)
+        mesh1 = make_mesh(data_parallel=1, model_parallel=1, devices=jax.devices()[:1])
+        losses_tp, state = _run_steps(cfg, ds, graph_np, mesh, 2)
+        losses_1, _ = _run_steps(cfg, ds, graph_np, mesh1, 1)
+        np.testing.assert_allclose(losses_tp, losses_1, rtol=2e-4)
+        # backbone kernels actually sharded over 'model'
+        ca = state.params["llm"]["h_0"]["attn"]["c_attn"]["kernel"]
+        assert not ca.sharding.is_fully_replicated
+        spec = ca.sharding.spec
+        assert spec == P(None, "model")
+
+    def test_pspec_rules(self, setup):
+        cfg, ds, graph_np = setup
+        model = TECMoLLM(cfg.model)
+        m = cfg.model
+        x = jnp.zeros((1, m.temporal_seq_len, m.num_nodes, m.in_features))
+        tf = jnp.zeros((1, m.temporal_seq_len, 4), jnp.int32)
+        params = model.init(
+            jax.random.key(0), x, tf,
+            jnp.asarray(graph_np[0]), jnp.asarray(graph_np[1]),
+        )["params"]
+        specs = param_pspecs(params, model_parallel=2)
+        assert specs["llm"]["h_0"]["attn"]["c_attn"]["kernel"] == P(None, "model")
+        assert specs["llm"]["h_0"]["attn"]["c_proj"]["kernel"] == P("model", None)
+        assert specs["llm"]["h_0"]["mlp"]["c_fc"]["kernel"] == P(None, "model")
+        assert specs["llm"]["h_0"]["mlp"]["c_proj"]["kernel"] == P("model", None)
+        assert specs["head"]["fc1"]["kernel"] == P(None, "model")
+        assert specs["head"]["fc2"]["kernel"] == P("model", None)
+        # replicated leaves
+        assert specs["embedding"]["node"]["embedding"] == P()
+        assert specs["llm"]["h_0"]["ln_1"]["scale"] == P()
+        # lora_B of c_attn follows the column-parallel split
+        assert specs["llm"]["h_0"]["attn"]["c_attn"]["lora_B"] == P(None, "model")
+
+    def test_indivisible_dims_fall_back_to_replicated(self, setup):
+        cfg, *_ = setup
+        params = {"llm": {"h_0": {"attn": {"c_attn": {"kernel": jnp.zeros((4, 9))}}}}}
+        specs = param_pspecs(params, model_parallel=2)
+        assert specs["llm"]["h_0"]["attn"]["c_attn"]["kernel"] == P()
+
+
+class TestMeshUtils:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(model_parallel=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        mesh = make_mesh(data_parallel=2, model_parallel=2)
+        assert mesh.shape == {"data": 2, "model": 2}
+
+    def test_batch_padding(self):
+        from tec_mollm_tpu.parallel.mesh import pad_batch_to_multiple
+
+        batch = {"x": np.ones((5, 3)), "y": np.zeros((5, 2))}
+        out = pad_batch_to_multiple(batch, 4)
+        assert out["x"].shape == (8, 3)
+        assert out["valid"].tolist() == [True] * 5 + [False] * 3

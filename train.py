@@ -1,0 +1,154 @@
+"""Training CLI.
+
+Replaces the reference's `torchrun --nproc_per_node=K train.py ...`
+(/root/reference/train.py:170-463) with a jax-native launcher: one process per host,
+devices discovered via jax, DP/TP laid out on a jax.sharding.Mesh. Flags mirror the
+reference's argparse surface (train.py:170-198) plus resume / mesh / config-file
+controls the reference lacks.
+
+Examples:
+    python train.py --data-dir data/processed --epochs 50
+    python train.py --data-dir /tmp/proc --epochs 2 --batch-size 2 --llm-layers 1
+    python train.py --config run_config.json --resume
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Train TEC-MoLLM (TPU-native)")
+    # data
+    p.add_argument("--data-dir", default="data/processed")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--L-in", type=int, default=48)
+    p.add_argument("--L-out", type=int, default=12)
+    p.add_argument("--train-stride", type=int, default=12)
+    # training (reference defaults, train.py:170-198)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch-size", type=int, default=2, help="microbatch per replica")
+    p.add_argument("--accumulation-steps", type=int, default=6)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-2)
+    p.add_argument("--patience", type=int, default=20)
+    p.add_argument("--min-delta", type=float, default=1e-4)
+    p.add_argument("--seed", type=int, default=0)
+    # model
+    p.add_argument("--d-emb", type=int, default=16)
+    p.add_argument("--llm-layers", type=int, default=3)
+    # parallel / precision
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    # lifecycle
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--config", default=None, help="load full config json")
+    p.add_argument("--gpt2-checkpoint", default=None,
+                   help="torch GPT-2/peft state_dict (.pt/.bin) or HF dir to import")
+    return p.parse_args()
+
+
+def build_config(args: argparse.Namespace):
+    from tec_mollm_tpu.config import Config, ModelConfig, TrainConfig
+
+    if args.config:
+        with open(args.config) as f:
+            return Config.from_json(f.read()).resolved()
+    model = ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers)
+    train = TrainConfig(
+        L_in=args.L_in,
+        L_out=args.L_out,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        accumulation_steps=args.accumulation_steps,
+        lr=args.lr,
+        weight_decay=args.weight_decay,
+        patience=args.patience,
+        min_delta=args.min_delta,
+        train_stride=args.train_stride,
+        seed=args.seed,
+        bf16=not args.no_bf16,
+        remat_llm=not args.no_remat,
+        model_parallel=args.model_parallel,
+    )
+    return Config(model=model, train=train).resolved()
+
+
+def main() -> None:
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+    from tec_mollm_tpu.data.scaler import StandardScaler
+    from tec_mollm_tpu.graph.builder import GraphData
+    from tec_mollm_tpu.training.trainer import Trainer
+    from tec_mollm_tpu.utils.logging import setup_logging
+
+    setup_logging(process_index=jax.process_index())
+    cfg = build_config(args)
+
+    data_dir = args.data_dir
+    train_ds = SlidingWindowDataset.from_dir(
+        data_dir, "train", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.train_stride
+    )
+    val_ds = SlidingWindowDataset.from_dir(
+        data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.val_stride
+    )
+    if len(val_ds) == 0:
+        logger.warning("validation split empty; training without validation")
+        val_ds = None
+    graph = GraphData.load(os.path.join(data_dir, "graph.npz"))
+    tscaler_path = os.path.join(data_dir, "target_scaler.npz")
+    target_scaler = StandardScaler.load(tscaler_path) if os.path.exists(tscaler_path) else None
+
+    logger.info(
+        "devices: %d x %s | effective batch %d",
+        jax.device_count(),
+        jax.devices()[0].platform,
+        cfg.train.batch_size * cfg.train.accumulation_steps
+        * (jax.device_count() // cfg.train.model_parallel),
+    )
+
+    trainer = Trainer(
+        cfg, train_ds, val_ds, graph, target_scaler,
+        workdir=args.workdir, run_name=args.run_name,
+    )
+
+    if args.gpt2_checkpoint:
+        from tec_mollm_tpu.models.hf_import import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.gpt2_checkpoint)
+        from tec_mollm_tpu.models.hf_import import load_gpt2_into_model_params
+
+        params = load_gpt2_into_model_params(
+            jax.device_get(trainer.state.params), sd, cfg.model
+        )
+        trainer.state = trainer.state.replace(params=jax.device_put(params))
+        logger.info("imported GPT-2 weights from %s", args.gpt2_checkpoint)
+
+    history = trainer.fit(resume=args.resume)
+    if history:
+        last = history[-1]
+        logger.info(
+            "finished: epoch %d best_val %.6f", last["epoch"], trainer.best_val_loss
+        )
+    # persist the exact config used alongside checkpoints (single source of truth)
+    with open(os.path.join(trainer.ckpt.dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+
+if __name__ == "__main__":
+    main()
