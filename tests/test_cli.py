@@ -1,0 +1,113 @@
+"""CLI integration tests: preprocess -> train -> test via subprocess, tiny config.
+
+The CLIs are the user surface of the framework (reference: scripts/preprocess.py,
+torchrun train.py, python test.py); these tests run them exactly as a user would."""
+
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, cwd, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"  # harmless if sitecustomize already decided
+    proc = subprocess.run(
+        [sys.executable] + args,
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"CLI failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from tec_mollm_tpu.config import tiny_config
+
+    wd = tmp_path_factory.mktemp("cli")
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, epochs=1, patience=2)
+    )
+    (wd / "config.json").write_text(cfg.to_json())
+    return wd, cfg
+
+
+class TestCLIPipeline:
+    def test_preprocess_synthetic(self, workdir):
+        wd, cfg = workdir
+        run_cli(
+            [
+                "-m", "tec_mollm_tpu.data.preprocess",
+                "--synthetic", "300", "--synthetic-grid", "6", "8",
+                "--horizon", str(cfg.train.L_out), "--out", "proc",
+            ],
+            cwd=str(wd),
+        )
+        for f in ("train_set.npz", "val_set.npz", "test_set.npz",
+                  "scaler.npz", "target_scaler.npz", "graph.npz",
+                  "preprocess_meta.json"):
+            assert (wd / "proc" / f).exists(), f
+        meta = json.loads((wd / "proc" / "preprocess_meta.json").read_text())
+        assert meta["grid"] == [6, 8]
+
+    def test_train(self, workdir):
+        wd, cfg = workdir
+        proc = run_cli(
+            [
+                os.path.join(REPO, "train.py"),
+                "--config", "config.json", "--data-dir", "proc",
+                "--workdir", ".", "--run-name", "clitest", "--cpu",
+            ],
+            cwd=str(wd),
+        )
+        assert (wd / "checkpoints" / "clitest" / "best_params").exists()
+        assert (wd / "checkpoints" / "clitest" / "latest").exists()
+        assert (wd / "checkpoints" / "clitest" / "config.json").exists()
+        assert (wd / "logs" / "clitest.jsonl").exists()
+        history = [
+            json.loads(line)
+            for line in (wd / "logs" / "clitest.jsonl").read_text().splitlines()
+        ]
+        assert history[0]["epoch"] == 0
+        assert "val_loss" in history[0]
+
+    def test_evaluate(self, workdir):
+        wd, cfg = workdir
+        proc = run_cli(
+            [
+                os.path.join(REPO, "test.py"),
+                "--config", "config.json", "--data-dir", "proc",
+                "--workdir", ".", "--checkpoint", "latest",
+                "--output-dir", "results", "--cpu",
+            ],
+            cwd=str(wd),
+        )
+        assert (wd / "results" / "evaluation_results.csv").exists()
+        summary = (wd / "results" / "evaluation_summary.txt").read_text()
+        assert "TEC-MoLLM" in summary
+        assert "HistoricalAverage" in summary
+        assert "Improvement" in summary
+        csv = (wd / "results" / "evaluation_results.csv").read_text().splitlines()
+        assert len(csv) == 3  # header + 2 models
+
+    def test_bench_quick(self, workdir):
+        wd, _ = workdir
+        proc = run_cli(
+            [os.path.join(REPO, "bench.py"), "--quick", "--cpu"], cwd=str(wd)
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        assert rec["metric"] == "train_windows_per_sec_per_chip"
+        assert rec["value"] > 0
+        assert "vs_baseline" in rec
