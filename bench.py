@@ -89,18 +89,25 @@ def main() -> None:
         remat_llm=cfg.train.remat_llm,
     )
     graph = (jnp.asarray(graph_np.neighbors), jnp.asarray(graph_np.neighbor_mask))
-    state, tx, mask = create_train_state(model, cfg, jax.random.key(0), batch_np, graph)
+    state, tx, mask = create_train_state(
+        model, cfg, jax.random.key(0), batch_np, graph,
+        frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
+    )
     batch = jax.tree.map(jnp.asarray, batch_np)
-    step_fn = jax.jit(make_train_step(model, cfg, tx, mask), donate_argnums=0)
+    step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
 
+    # NOTE: hard host readback (float(...)) rather than block_until_ready — on the
+    # tunneled axon backend block_until_ready returns at enqueue time, not
+    # completion. Each step consumes the previous state, so one readback of the
+    # final loss synchronizes the whole chain.
     for _ in range(args.warmup):
         state, metrics = step_fn(state, batch, graph)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, batch, graph)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
     n_chips = jax.local_device_count()

@@ -24,7 +24,8 @@ from tec_mollm_tpu.training.train_state import TrainState
 def _to_saveable(state: TrainState) -> dict[str, Any]:
     return {
         "step": state.step,
-        "params": state.params,
+        "trainable": state.trainable,
+        "frozen": state.frozen,
         "opt_state": state.opt_state,
         "rng": jax.random.key_data(state.rng),
     }
@@ -33,7 +34,8 @@ def _to_saveable(state: TrainState) -> dict[str, Any]:
 def _from_saveable(tree: dict[str, Any]) -> TrainState:
     return TrainState(
         step=tree["step"],
-        params=tree["params"],
+        trainable=tree["trainable"],
+        frozen=tree["frozen"],
         opt_state=tree["opt_state"],
         rng=jax.random.wrap_key_data(tree["rng"]),
     )

@@ -55,20 +55,19 @@ def trainable_mask(params: Any, llm_module_name: str = "llm") -> Any:
     )
 
 
-def build_optimizer(
-    train_cfg: TrainConfig, params: Any, llm_module_name: str = "llm"
-) -> tuple[optax.GradientTransformation, Any]:
-    """Returns (tx, mask). The schedule's step count equals the number of optimizer
-    updates (one per accumulated macro step), matching the reference's
-    scheduler.step() placement."""
+def build_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
+    """AdamW + clip + warm-restart schedule, applied to the TRAINABLE tree only
+    (the frozen tree is split off structurally — see train_state.partition_params —
+    so no optax.masked indirection is needed). The schedule's step count equals the
+    number of optimizer updates (one per accumulated macro step), matching the
+    reference's scheduler.step() placement."""
     schedule = cosine_annealing_warm_restarts(
         base_lr=train_cfg.lr,
         t_0=train_cfg.sched_t0,
         t_mult=train_cfg.sched_t_mult,
         eta_min=train_cfg.sched_eta_min,
     )
-    mask = trainable_mask(params, llm_module_name)
-    tx = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(train_cfg.clip_grad_norm),
         optax.adamw(
             learning_rate=schedule,
@@ -78,4 +77,3 @@ def build_optimizer(
             weight_decay=train_cfg.weight_decay,
         ),
     )
-    return optax.masked(tx, mask), mask

@@ -3,14 +3,19 @@
 Replaces the reference's imperative loop body (train.py:50-128): autocast bf16 ->
 forward -> Huber/accum -> backward -> (every N steps) unscale/clip/step/zero/sched.
 Here the whole macro step — a lax.scan over `accumulation_steps` microbatches with
-gradient averaging, followed by one masked AdamW update — is a single jitted,
-shardable function. No GradScaler: bf16 on TPU needs no loss scaling
-(SURVEY.md §2.d.3).
+gradient averaging, followed by one AdamW update — is a single jitted, shardable
+function. No GradScaler: bf16 on TPU needs no loss scaling (SURVEY.md §2.d.3).
+
+Partitioned parameters: the reference freezes the GPT-2 base weights and optimizes
+only lora_/ln_/wpe + non-LLM modules (modules.py:195-203, train.py:358-362). Here
+that split is structural — TrainState holds a `trainable` tree (differentiated,
+optimized, fp32) and a `frozen` tree (constants to the graph; storable in bf16).
+Gradients, optimizer moments, the accumulation carry, and the global-norm clip all
+touch ONLY the trainable tree (~3M params instead of ~24M).
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -20,24 +25,53 @@ from flax import struct
 
 from tec_mollm_tpu.config import Config
 from tec_mollm_tpu.training.loss import huber_loss
-from tec_mollm_tpu.training.optimizer import build_optimizer
+from tec_mollm_tpu.training.optimizer import build_optimizer, trainable_mask
+
+
+def _is_none(x) -> bool:
+    return x is None
+
+
+def partition_params(params: Any, mask: Any) -> tuple[Any, Any]:
+    """Split a param tree into (trainable, frozen) trees with None placeholders."""
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def merge_params(trainable: Any, frozen: Any) -> Any:
+    """Inverse of partition_params."""
+    return jax.tree.map(
+        lambda t, f: f if t is None else t, trainable, frozen, is_leaf=_is_none
+    )
 
 
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray            # optimizer updates performed
-    params: Any
+    trainable: Any               # differentiated + optimized params (fp32)
+    frozen: Any                  # frozen params (None placeholders in trainable)
     opt_state: Any
     rng: jax.Array               # dropout rng, folded per step
 
-    def replace_params(self, params: Any) -> "TrainState":
-        return self.replace(params=params)
+    @property
+    def params(self) -> Any:
+        """Merged full parameter tree (for eval / checkpoint / inspection)."""
+        return merge_params(self.trainable, self.frozen)
 
 
 def create_train_state(
-    model, cfg: Config, rng: jax.Array, sample_batch: dict[str, jnp.ndarray],
+    model,
+    cfg: Config,
+    rng: jax.Array,
+    sample_batch: dict[str, jnp.ndarray],
     graph: tuple[jnp.ndarray, jnp.ndarray],
+    frozen_dtype: jnp.dtype | None = None,
 ) -> tuple[TrainState, optax.GradientTransformation, Any]:
-    """Initialize params + optimizer. Returns (state, tx, trainable_mask)."""
+    """Initialize params + optimizer. Returns (state, tx, mask).
+
+    frozen_dtype (e.g. bf16) downcasts the frozen tree — halves its HBM footprint
+    and weight-streaming bandwidth; trainable params stay fp32 for AdamW.
+    """
     init_rng, state_rng = jax.random.split(rng)
     neighbors, neighbor_mask = graph
     params = model.init(
@@ -47,11 +81,16 @@ def create_train_state(
         neighbors,
         neighbor_mask,
     )["params"]
-    tx, mask = build_optimizer(cfg.train, params)
-    opt_state = tx.init(params)
+    mask = trainable_mask(params)
+    trainable, frozen = partition_params(params, mask)
+    if frozen_dtype is not None:
+        frozen = jax.tree.map(lambda p: p.astype(frozen_dtype), frozen)
+    tx = build_optimizer(cfg.train)
+    opt_state = tx.init(trainable)
     state = TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
-        params=params,
+        trainable=trainable,
+        frozen=frozen,
         opt_state=opt_state,
         rng=state_rng,
     )
@@ -64,18 +103,11 @@ def _targets_from_batch(batch: dict[str, jnp.ndarray]) -> jnp.ndarray:
     return batch["y"].transpose(0, 2, 1)[..., None]
 
 
-def make_loss_fn(
-    model, cfg: Config, trainable_mask: Any
-) -> Callable:
-    """loss_fn(params, batch, graph, rng) -> loss. Frozen leaves (mask False) are
-    stop_gradient'd so XLA drops their dW matmuls entirely."""
+def make_loss_fn(model, cfg: Config) -> Callable:
+    """loss_fn(trainable, frozen, batch, graph, rng) -> loss."""
 
-    def loss_fn(params, batch, graph, dropout_rng):
-        params = jax.tree.map(
-            lambda p, trainable: p if trainable else jax.lax.stop_gradient(p),
-            params,
-            trainable_mask,
-        )
+    def loss_fn(trainable, frozen, batch, graph, dropout_rng):
+        params = merge_params(trainable, frozen)
         neighbors, neighbor_mask = graph
         preds = model.apply(
             {"params": params},
@@ -91,20 +123,18 @@ def make_loss_fn(
     return loss_fn
 
 
-def make_train_step(
-    model, cfg: Config, tx: optax.GradientTransformation, trainable_mask: Any
-) -> Callable:
+def make_train_step(model, cfg: Config, tx: optax.GradientTransformation) -> Callable:
     """Returns train_step(state, batch, graph) -> (state, metrics).
 
     batch arrays have leading dim B_total = accumulation_steps * microbatch; the
     scan averages gradients over microbatches (same semantics as loss/accum +
     per-cycle step in the reference, train.py:78-109 — and, because the scan always
     runs all microbatches, the trailing-remainder flush quirk train.py:117-126
-    cannot drop gradients here).
+    cannot drop gradients here). Gradients exist only for the trainable tree.
     """
     accum = cfg.train.accumulation_steps
-    loss_fn = make_loss_fn(model, cfg, trainable_mask)
-    grad_fn = jax.value_and_grad(loss_fn)
+    loss_fn = make_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=0)
 
     def train_step(state: TrainState, batch: dict[str, jnp.ndarray], graph):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
@@ -118,26 +148,26 @@ def make_train_step(
             def body(carry, mb):
                 loss_sum, grad_sum, i = carry
                 mb_rng = jax.random.fold_in(dropout_rng, i)
-                loss, grads = grad_fn(state.params, mb, graph, mb_rng)
+                loss, grads = grad_fn(state.trainable, state.frozen, mb, graph, mb_rng)
                 grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
                 return (loss_sum + loss, grad_sum, i + 1), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
             (loss_sum, grad_sum, _), _ = jax.lax.scan(
                 body, (jnp.zeros(()), zero_grads, jnp.zeros((), jnp.int32)), micro
             )
             loss = loss_sum / accum
             grads = jax.tree.map(lambda g: g / accum, grad_sum)
         else:
-            loss, grads = grad_fn(state.params, batch, graph, dropout_rng)
+            loss, grads = grad_fn(state.trainable, state.frozen, batch, graph, dropout_rng)
 
         # mean gradients across data-parallel replicas happen implicitly: under jit
         # with sharded batch + replicated params, XLA inserts the psum (GSPMD).
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
         grad_norm = optax.global_norm(grads)
         new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
+            step=state.step + 1, trainable=new_trainable, opt_state=new_opt_state
         )
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 
@@ -147,8 +177,9 @@ def make_train_step(
 def make_eval_step(model, cfg: Config) -> Callable:
     """eval_step(params, batch, graph) -> (loss, preds, targets).
 
-    Handles padded batches via batch['valid'] so stride-1 validation keeps static
-    shapes (single compilation); padded rows carry zero loss weight."""
+    Takes the MERGED param tree. Handles padded batches via batch['valid'] so
+    stride-1 validation keeps static shapes (single compilation); padded rows carry
+    zero loss weight."""
 
     def eval_step(params, batch: dict[str, jnp.ndarray], graph):
         neighbors, neighbor_mask = graph

@@ -112,25 +112,33 @@ class Trainer:
             jax.device_put(jnp.asarray(graph.neighbor_mask), rep),
         )
 
-        # init state
+        # init state: trainable fp32, frozen bf16 under the bf16 policy (streamed
+        # weights; no optimizer state to keep in fp32)
         sample = train_ds.gather_batch(np.arange(min(1, len(train_ds))))
-        state, tx, mask = create_train_state(
-            self.model, cfg, jax.random.key(cfg.train.seed), sample, self.graph_dev
-        )
-        p_shard = param_shardings(
-            state.params, self.mesh, cfg.train.model_parallel, cfg.train.model_axis
+        state, tx, self._mask = create_train_state(
+            self.model, cfg, jax.random.key(cfg.train.seed), sample, self.graph_dev,
+            frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
         )
         # Every leaf of the state must live on the mesh: params per their specs,
         # opt_state/step/rng replicated (adam moments inherit the params' layout
         # through the first jitted update).
         state = state.replace(
-            params=jax.device_put(state.params, p_shard),
+            trainable=jax.device_put(
+                state.trainable,
+                param_shardings(state.trainable, self.mesh, cfg.train.model_parallel,
+                                cfg.train.model_axis),
+            ),
+            frozen=jax.device_put(
+                state.frozen,
+                param_shardings(state.frozen, self.mesh, cfg.train.model_parallel,
+                                cfg.train.model_axis),
+            ),
             opt_state=jax.device_put(state.opt_state, rep),
             step=jax.device_put(state.step, rep),
             rng=jax.device_put(state.rng, rep),
         )
         self.state = state
-        self._train_step = jax.jit(make_train_step(self.model, cfg, tx, mask), donate_argnums=0)
+        self._train_step = jax.jit(make_train_step(self.model, cfg, tx), donate_argnums=0)
         self._eval_step = jax.jit(make_eval_step(self.model, cfg))
         self.batch_sharding = batch_sharding(self.mesh, cfg.train.data_axis)
 
@@ -143,20 +151,46 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def set_params(self, merged_params) -> None:
+        """Replace the model parameters from a merged tree (e.g. imported
+        reference/HF weights), preserving the trainable/frozen split and dtypes."""
+        from tec_mollm_tpu.training.train_state import partition_params
+
+        trainable, frozen = partition_params(merged_params, self._mask)
+        if self.cfg.train.bf16:
+            frozen = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), frozen)
+        trainable = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), trainable)
+        self.state = self.state.replace(
+            trainable=jax.device_put(
+                trainable,
+                param_shardings(trainable, self.mesh, self.cfg.train.model_parallel,
+                                self.cfg.train.model_axis),
+            ),
+            frozen=jax.device_put(
+                frozen,
+                param_shardings(frozen, self.mesh, self.cfg.train.model_parallel,
+                                self.cfg.train.model_axis),
+            ),
+        )
+
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
         arrays = {k: v for k, v in batch.items() if k != "valid"}
         return jax.tree.map(lambda x: jax.device_put(x, self.batch_sharding), arrays)
 
     def train_epoch(self) -> dict[str, float]:
         self.train_loader.set_epoch(self.epoch)
-        total_loss, steps = 0.0, 0
+        device_losses = []
+        steps = 0
         t0 = time.perf_counter()
         for batch in self.train_loader:
             self.state, metrics = self._train_step(
                 self.state, self._put(batch), self.graph_dev
             )
-            total_loss += float(metrics["loss"])
+            # keep losses on device: a float() here would hard-sync every step
+            # (one tunnel RTT per step on remote backends); read back once below
+            device_losses.append(metrics["loss"])
             steps += 1
+        total_loss = float(sum(device_losses)) if device_losses else 0.0
         dt = time.perf_counter() - t0
         windows = steps * self.macro_batch
         return {

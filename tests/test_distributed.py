@@ -44,16 +44,22 @@ def _run_steps(cfg, ds, graph_np, mesh, model_parallel, n_steps=2):
     state, tx, mask = create_train_state(
         model, cfg, jax.random.key(0), batch_np, graph
     )
-    p_shard = param_shardings(state.params, mesh, model_parallel, cfg.train.model_axis)
     state = state.replace(
-        params=jax.device_put(state.params, p_shard),
+        trainable=jax.device_put(
+            state.trainable,
+            param_shardings(state.trainable, mesh, model_parallel, cfg.train.model_axis),
+        ),
+        frozen=jax.device_put(
+            state.frozen,
+            param_shardings(state.frozen, mesh, model_parallel, cfg.train.model_axis),
+        ),
         opt_state=jax.device_put(state.opt_state, rep),
         step=jax.device_put(state.step, rep),
         rng=jax.device_put(state.rng, rep),
     )
     bs = batch_sharding(mesh, cfg.train.data_axis)
     batch = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bs), batch_np)
-    step_fn = jax.jit(make_train_step(model, cfg, tx, mask))
+    step_fn = jax.jit(make_train_step(model, cfg, tx))
     losses = []
     for _ in range(n_steps):
         state, metrics = step_fn(state, batch, graph)

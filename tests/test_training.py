@@ -114,7 +114,7 @@ class TestTrainableMask:
 class TestTrainStep:
     def test_loss_decreases_and_frozen_immobile(self, train_setup):
         cfg, model, ds, graph, state, tx, mask = train_setup
-        step = jax.jit(make_train_step(model, cfg, tx, mask))
+        step = jax.jit(make_train_step(model, cfg, tx))
         batch = jax.tree.map(
             jnp.asarray,
             ds.gather_batch(np.arange(cfg.train.accumulation_steps * cfg.train.batch_size)),

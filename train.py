@@ -128,15 +128,16 @@ def main() -> None:
     )
 
     if args.gpt2_checkpoint:
-        from tec_mollm_tpu.models.hf_import import load_torch_checkpoint
+        from tec_mollm_tpu.models.hf_import import (
+            load_gpt2_into_model_params,
+            load_torch_checkpoint,
+        )
 
         sd = load_torch_checkpoint(args.gpt2_checkpoint)
-        from tec_mollm_tpu.models.hf_import import load_gpt2_into_model_params
-
         params = load_gpt2_into_model_params(
             jax.device_get(trainer.state.params), sd, cfg.model
         )
-        trainer.state = trainer.state.replace(params=jax.device_put(params))
+        trainer.set_params(params)
         logger.info("imported GPT-2 weights from %s", args.gpt2_checkpoint)
 
     history = trainer.fit(resume=args.resume)
