@@ -1,0 +1,69 @@
+"""Custom op tests: Pallas kernels vs XLA references (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tec_mollm_tpu.ops.flash_attention import (
+    flash_attention,
+    flash_attention_interpret,
+    reference_attention,
+)
+
+
+def _qkv(b=2, t=256, h=4, d=64, dtype=np.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(0, 0.5, size=(b, t, h, d)).astype(dtype))
+    return mk(), mk(), mk()
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_kernel_matches_reference(self, causal):
+        q, k, v = _qkv()
+        expect = reference_attention(q, k, v, causal=causal)
+        got = flash_attention_interpret(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
+
+    def test_unaligned_seq_padding(self):
+        q, k, v = _qkv(t=200)  # not a multiple of the 256 block
+        expect = reference_attention(q, k, v, causal=True)
+        got = flash_attention_interpret(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
+
+    def test_short_seq_routes_to_xla(self):
+        q, k, v = _qkv(t=3)
+        got = flash_attention(q, k, v)  # CPU + short: reference path
+        expect = reference_attention(q, k, v)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
+
+    def test_gradients_flow(self):
+        q, k, v = _qkv(b=1, t=128, h=2, d=32)
+
+        def loss(q, k, v):
+            with jax.disable_jit():  # keep interpret mode happy
+                out = flash_attention_interpret(q, k, v)
+            return jnp.sum(out**2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(reference_attention(q, k, v) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    def test_causality(self):
+        """future tokens must not affect earlier outputs."""
+        q, k, v = _qkv(t=256)
+        out1 = flash_attention_interpret(q, k, v, causal=True)
+        k2 = k.at[:, -1].set(k[:, -1] * 100)
+        v2 = v.at[:, -1].set(v[:, -1] + 50)
+        out2 = flash_attention_interpret(q, k2, v2, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out1[:, :-1]), np.asarray(out2[:, :-1]), atol=1e-5
+        )
+        assert not np.allclose(out1[:, -1], out2[:, -1])
