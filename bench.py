@@ -83,12 +83,15 @@ def main() -> None:
     ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out)
     batch_np = ds.gather_batch(np.arange(macro) % max(len(ds), 1))
 
+    from tec_mollm_tpu.models.tec_mollm import graph_inputs
+
+    stencil_shifts, graph = graph_inputs(graph_np)
     model = TECMoLLM(
         m,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         remat_llm=cfg.train.remat_llm,
+        stencil_shifts=stencil_shifts,
     )
-    graph = (jnp.asarray(graph_np.neighbors), jnp.asarray(graph_np.neighbor_mask))
     state, tx, mask = create_train_state(
         model, cfg, jax.random.key(0), batch_np, graph,
         frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,

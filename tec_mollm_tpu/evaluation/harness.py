@@ -41,13 +41,16 @@ def get_model_predictions(
     import jax.numpy as jnp
 
     from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.models.tec_mollm import graph_inputs
     from tec_mollm_tpu.training.train_state import make_eval_step
 
+    stencil_shifts, graph_dev = graph_inputs(graph)
     model = TECMoLLM(
-        cfg.model, dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+        cfg.model,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        stencil_shifts=stencil_shifts,
     )
     eval_step = jax.jit(make_eval_step(model, cfg))
-    graph_dev = (jnp.asarray(graph.neighbors), jnp.asarray(graph.neighbor_mask))
 
     loader = BatchLoader(dataset, batch_size=batch_size, drop_remainder=False, prefetch=2)
     preds_all, trues_all = [], []

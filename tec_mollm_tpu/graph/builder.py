@@ -29,7 +29,16 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class GraphData:
-    """Static graph in both COO (parity with reference export) and padded form."""
+    """Static graph in COO (parity with reference export), padded-table, and —
+    for regular lat/lon grids — stencil form.
+
+    Stencil form (TPU-first): on a regular grid the 150 km neighborhood is a fixed
+    set of (dlat, dlon) offsets, so the neighbor gather is a set of lane shifts of
+    the node axis: neighbor index = n + (di * W + dj). `stencil_shifts` holds those
+    flattened shifts (self loop included as shift 0); `stencil_valid[o, n]` says
+    whether node n really has a neighbor at offset o (grid bounds + latitude-
+    dependent distance cutoff). Exactly equivalent to the padded table.
+    """
 
     edge_index: np.ndarray   # (2, E) int32, [src; dst], sorted by dst then src
     edge_weight: np.ndarray  # (E,) float32 — sym-normalized adjacency values
@@ -37,12 +46,24 @@ class GraphData:
     neighbor_mask: np.ndarray  # (N, D) bool, True where a real neighbor
     neighbor_weight: np.ndarray  # (N, D) float32 normalized weights, 0 where padded
     num_nodes: int
+    stencil_shifts: np.ndarray | None = None  # (O,) int32 flattened lane shifts
+    stencil_valid: np.ndarray | None = None   # (O, N) bool
 
     @property
     def max_degree(self) -> int:
         return self.neighbors.shape[1]
 
+    @property
+    def has_stencil(self) -> bool:
+        return self.stencil_shifts is not None
+
     def save(self, path: str) -> None:
+        extra = {}
+        if self.has_stencil:
+            extra = {
+                "stencil_shifts": self.stencil_shifts,
+                "stencil_valid": self.stencil_valid,
+            }
         np.savez(
             path,
             edge_index=self.edge_index,
@@ -51,6 +72,7 @@ class GraphData:
             neighbor_mask=self.neighbor_mask,
             neighbor_weight=self.neighbor_weight,
             num_nodes=np.int64(self.num_nodes),
+            **extra,
         )
 
     @classmethod
@@ -63,6 +85,8 @@ class GraphData:
                 neighbor_mask=d["neighbor_mask"],
                 neighbor_weight=d["neighbor_weight"],
                 num_nodes=int(d["num_nodes"]),
+                stencil_shifts=d["stencil_shifts"] if "stencil_shifts" in d else None,
+                stencil_valid=d["stencil_valid"] if "stencil_valid" in d else None,
             )
 
 
@@ -169,6 +193,68 @@ def build_padded_neighbors(
     return neighbors, mask, weights
 
 
+def haversine_km(lat1, lon1, lat2, lon2, earth_radius_km: float = 6371.0):
+    """Elementwise great-circle distance in km (degrees in)."""
+    lat1, lon1, lat2, lon2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    a = (
+        np.sin(0.5 * (lat2 - lat1)) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin(0.5 * (lon2 - lon1)) ** 2
+    )
+    return 2.0 * earth_radius_km * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def build_grid_stencil(
+    lat: np.ndarray,
+    lon: np.ndarray,
+    distance_threshold_km: float = 150.0,
+    earth_radius_km: float = 6371.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Offset-stencil form of the threshold graph on a regular lat/lon grid.
+
+    Returns (shifts (O,) int32, valid (O, N) bool): shift o maps node n to
+    neighbor n + shifts[o]; valid[o, n] marks in-bounds pairs within the distance
+    threshold. Offset (0, 0) — the GAT self-loop (modules.py:335) — is always
+    included and always valid. Works for any monotone grid spacing (the validity
+    mask is computed per node, so latitude-dependent lon spacing is exact).
+    """
+    h, w = len(lat), len(lon)
+    n = h * w
+    # generous candidate ranges from the smallest spacing anywhere on the grid
+    lat_step = np.min(np.abs(np.diff(lat))) if h > 1 else np.inf
+    min_coslat = np.min(np.cos(np.radians(lat)))
+    lon_step_km = (
+        np.min(np.abs(np.diff(lon))) * 111.195 * max(min_coslat, 1e-6)
+        if w > 1
+        else np.inf
+    )
+    max_di = 0 if h == 1 else int(distance_threshold_km // (lat_step * 111.195)) + 1
+    max_dj = 0 if w == 1 else int(distance_threshold_km // lon_step_km) + 1
+    max_dj = min(max_dj, w - 1)
+    max_di = min(max_di, h - 1)
+
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    shifts: list[int] = []
+    valids: list[np.ndarray] = []
+    for di in range(-max_di, max_di + 1):
+        for dj in range(-max_dj, max_dj + 1):
+            i2 = ii + di
+            j2 = jj + dj
+            in_bounds = (i2 >= 0) & (i2 < h) & (j2 >= 0) & (j2 < w)
+            i2c = np.clip(i2, 0, h - 1)
+            j2c = np.clip(j2, 0, w - 1)
+            if di == 0 and dj == 0:
+                valid = np.ones((h, w), dtype=bool)  # self loop
+            else:
+                dist = haversine_km(
+                    lat[ii], lon[jj], lat[i2c], lon[j2c], earth_radius_km
+                )
+                valid = in_bounds & (dist <= distance_threshold_km)
+            if valid.any():
+                shifts.append(di * w + dj)
+                valids.append(valid.reshape(n))
+    return np.asarray(shifts, dtype=np.int32), np.stack(valids).astype(bool)
+
+
 def build_graph(
     lat: np.ndarray,
     lon: np.ndarray,
@@ -189,11 +275,15 @@ def build_graph(
         include_self_loops=include_self_loops,
         pad_to_multiple=pad_to_multiple,
     )
+    stencil_shifts, stencil_valid = build_grid_stencil(
+        lat, lon, distance_threshold_km, earth_radius_km
+    )
     logger.info(
-        "graph: %d nodes, %d edges, max padded degree %d",
+        "graph: %d nodes, %d edges, max padded degree %d, stencil offsets %d",
         len(lat) * len(lon),
         edge_index.shape[1],
         neighbors.shape[1],
+        len(stencil_shifts),
     )
     return GraphData(
         edge_index=edge_index,
@@ -202,4 +292,6 @@ def build_graph(
         neighbor_mask=mask,
         neighbor_weight=weights,
         num_nodes=len(lat) * len(lon),
+        stencil_shifts=stencil_shifts,
+        stencil_valid=stencil_valid,
     )

@@ -87,15 +87,106 @@ class GATv2(nn.Module):
         return out + bias.astype(self.dtype)
 
 
+class GATv2Stencil(nn.Module):
+    """GATv2 on a regular-grid graph via offset shifts — no gathers at all.
+
+    Mathematically identical to GATv2 (same parameters: lin_l, lin_r, att, bias;
+    checkpoints interchange), but exploits that the 150 km grid graph's neighbor
+    sets are fixed (dlat, dlon) offsets (graph/builder.py:build_grid_stencil): the
+    neighbor gather becomes a roll of the node axis, with per-offset validity masks.
+
+    TPU layout: after the two input projections (big MXU matmuls), tensors move to
+    (..., heads, c, N) so the node axis N (2911) sits in the lane dimension —
+    elementwise work runs on full 128-wide VPU lanes instead of the 22-channel
+    tail, and each "gather" is a cheap lane shift. Measured ~10x faster than the
+    padded-gather formulation at full size.
+    """
+
+    out_channels: int
+    heads: int = 2
+    negative_slope: float = 0.2
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,        # (..., N, F_in)
+        shifts,                # static tuple of int lane shifts (O,)
+        valid: jnp.ndarray,    # (O, N) bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        h, c = self.heads, self.out_channels
+        dense = lambda name: nn.Dense(
+            h * c,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
+            name=name,
+        )
+        xl = dense("lin_l")(x)
+        xr = dense("lin_r")(x)
+        att = self.param("att", nn.initializers.glorot_uniform(), (1, h * c))
+        att_hc = att.reshape(h, c, 1).astype(self.dtype)
+
+        # (..., N, h*c) -> (..., h, c, N): node axis into lanes
+        def to_lane(a):
+            a = a.reshape(a.shape[:-1] + (h, c))
+            return jnp.moveaxis(a, -3, -1)  # (..., h, c, N)
+
+        xl_t = to_lane(xl)
+        xr_t = to_lane(xr)
+        shifts = tuple(int(s) for s in shifts)
+
+        def shifted(o: int) -> jnp.ndarray:
+            # value at node n becomes xl[n + shift] (wrap masked by valid)
+            return jnp.roll(xl_t, -shifts[o], axis=-1)
+
+        # pass 1: scores per offset
+        scores = []
+        for o in range(len(shifts)):
+            e = nn.leaky_relu(shifted(o) + xr_t, negative_slope=self.negative_slope)
+            scores.append(jnp.sum(e * att_hc, axis=-2))  # (..., h, N)
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=scores[0].dtype)
+        masked = [
+            jnp.where(valid[o][None, :], s, neg) for o, s in enumerate(scores)
+        ]
+        m = masked[0]
+        for s in masked[1:]:
+            m = jnp.maximum(m, s)
+        weights = [
+            jnp.where(valid[o][None, :], jnp.exp(s - m), 0.0)
+            for o, s in enumerate(masked)
+        ]
+        denom = sum(weights)
+
+        # pass 2: weighted neighbor sum (re-roll: rolls are cheap lane shifts)
+        out = jnp.zeros_like(xl_t)
+        for o in range(len(shifts)):
+            alpha = weights[o] / denom  # (..., h, N)
+            if self.dropout > 0.0 and not deterministic:
+                alpha = nn.Dropout(rate=self.dropout, deterministic=False)(alpha)
+            out = out + alpha[..., :, None, :] * shifted(o)
+
+        out = jnp.moveaxis(out, -1, -3).reshape(x.shape[:-1] + (h * c,))
+        bias = self.param("bias", nn.initializers.zeros, (h * c,))
+        return out + bias.astype(self.dtype)
+
+
 class SpatialEncoder(nn.Module):
     """GATv2 + residual, matching reference modules.py:315-359 + tec_mollm.py:94.
 
     The residual add (tec_mollm.py:91-95) requires heads*out_channels == input
     channels (22 = 2*11 by default), validated in ModelConfig.
+
+    Two equivalent compute modes with IDENTICAL parameters:
+      * padded-gather (stencil_shifts=None): `neighbors` (N, D) table + `mask`;
+      * stencil (stencil_shifts set, regular grids): `neighbors` must be the
+        (O, N) validity mask from GraphData.stencil_valid; `mask` is ignored.
     """
 
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
+    stencil_shifts: tuple[int, ...] | None = None
 
     @nn.compact
     def __call__(
@@ -105,7 +196,7 @@ class SpatialEncoder(nn.Module):
         mask: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        gat = GATv2(
+        common = dict(
             out_channels=self.cfg.spatial_out_channels,
             heads=self.cfg.spatial_heads,
             negative_slope=self.cfg.gat_negative_slope,
@@ -113,4 +204,10 @@ class SpatialEncoder(nn.Module):
             dtype=self.dtype,
             name="gat",
         )
-        return x + gat(x, neighbors, mask, deterministic=deterministic)
+        if self.stencil_shifts is not None:
+            gat = GATv2Stencil(**common)
+            out = gat(x, self.stencil_shifts, neighbors, deterministic=deterministic)
+        else:
+            gat = GATv2(**common)
+            out = gat(x, neighbors, mask, deterministic=deterministic)
+        return x + out

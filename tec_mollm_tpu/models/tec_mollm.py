@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from tec_mollm_tpu.config import ModelConfig
+from tec_mollm_tpu.graph.builder import GraphData
 from tec_mollm_tpu.models.embeddings import SpatioTemporalEmbedding
 from tec_mollm_tpu.models.gat import SpatialEncoder
 from tec_mollm_tpu.models.gpt2 import GPT2Backbone
@@ -30,19 +31,39 @@ from tec_mollm_tpu.models.head import PredictionHead
 from tec_mollm_tpu.models.temporal import TemporalEncoder
 
 
+def graph_inputs(
+    graph: GraphData, use_stencil: bool = True
+) -> tuple[tuple[int, ...] | None, tuple[jnp.ndarray, jnp.ndarray]]:
+    """Pick the fastest available graph representation for TECMoLLM.
+
+    Returns (stencil_shifts, (neighbors_arg, mask_arg)): stencil (lane-shift)
+    mode on regular grids, padded-gather otherwise. Parameters are identical
+    between modes, so checkpoints are interchangeable."""
+    if use_stencil and graph.has_stencil:
+        shifts = tuple(int(s) for s in graph.stencil_shifts)
+        valid = jnp.asarray(graph.stencil_valid)
+        return shifts, (valid, valid)
+    return None, (jnp.asarray(graph.neighbors), jnp.asarray(graph.neighbor_mask))
+
+
 class TECMoLLM(nn.Module):
+    """When `stencil_shifts` is set (regular-grid graphs — the default for the
+    41x71 TEC grid), pass GraphData.stencil_valid (O, N) as `neighbors`; the
+    padded table is not needed (see gat.SpatialEncoder)."""
+
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     remat_llm: bool = False
     use_flash: bool = False
+    stencil_shifts: tuple[int, ...] | None = None
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,              # (B, L, N, C_in) float
         time_features: jnp.ndarray,  # (B, L, 4) int
-        neighbors: jnp.ndarray,      # (N, D) int32
-        neighbor_mask: jnp.ndarray,  # (N, D) bool
+        neighbors: jnp.ndarray,      # (N, D) int32 table, or (O, N) stencil validity
+        neighbor_mask: jnp.ndarray,  # (N, D) bool (ignored in stencil mode)
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.cfg
@@ -54,9 +75,9 @@ class TECMoLLM(nn.Module):
         )
 
         # 2-4. graph attention + residual, applied per (batch, timestep) slice
-        h = SpatialEncoder(cfg, dtype=self.dtype, name="spatial")(
-            h, neighbors, neighbor_mask, deterministic=deterministic
-        )
+        h = SpatialEncoder(
+            cfg, dtype=self.dtype, stencil_shifts=self.stencil_shifts, name="spatial"
+        )(h, neighbors, neighbor_mask, deterministic=deterministic)
 
         # 5. to per-node sequences: (B, L, N, C) -> (B*N, L, C)
         c = h.shape[-1]

@@ -73,10 +73,14 @@ class Trainer:
             model_axis=cfg.train.model_axis,
         )
         self.dp = self.mesh.shape[cfg.train.data_axis]
+        from tec_mollm_tpu.models.tec_mollm import graph_inputs
+
+        stencil_shifts, graph_arrays = graph_inputs(graph)
         self.model = TECMoLLM(
             cfg.model,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
             remat_llm=cfg.train.remat_llm,
+            stencil_shifts=stencil_shifts,
         )
         self.train_ds = train_ds
         self.val_ds = val_ds
@@ -107,10 +111,7 @@ class Trainer:
 
         # graph device constants (replicated)
         rep = replicated_sharding(self.mesh)
-        self.graph_dev = (
-            jax.device_put(jnp.asarray(graph.neighbors), rep),
-            jax.device_put(jnp.asarray(graph.neighbor_mask), rep),
-        )
+        self.graph_dev = tuple(jax.device_put(a, rep) for a in graph_arrays)
 
         # init state: trainable fp32, frozen bf16 under the bf16 policy (streamed
         # weights; no optimizer state to keep in fp32)
