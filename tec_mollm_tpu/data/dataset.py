@@ -35,6 +35,7 @@ class SlidingWindowDataset:
         L_in: int,
         L_out: int,
         stride: int = 1,
+        use_native: bool | None = None,
     ):
         self.X = np.ascontiguousarray(data["X"], dtype=np.float32)
         self.Y = np.ascontiguousarray(data["Y"], dtype=np.float32)
@@ -47,6 +48,11 @@ class SlidingWindowDataset:
         self.L_in = L_in
         self.L_out = L_out
         self.stride = stride
+        if use_native is None:  # auto: use the C assembler when it builds/loads
+            from tec_mollm_tpu.data import native_loader
+
+            use_native = native_loader.available()
+        self.use_native = use_native
         max_start = len(self.X) - L_in - L_out + 1
         self.sample_indices = (
             np.arange(0, max_start, stride, dtype=np.int64)
@@ -76,8 +82,15 @@ class SlidingWindowDataset:
         }
 
     def gather_batch(self, idxs: np.ndarray) -> dict[str, np.ndarray]:
-        """Assemble a batch with vectorized fancy indexing (no per-sample Python loop)."""
+        """Assemble a batch: native multithreaded memcpy (native/tecloader.cpp) when
+        available, vectorized numpy fancy indexing otherwise."""
         starts = self.sample_indices[idxs]
+        if self.use_native:
+            from tec_mollm_tpu.data import native_loader
+
+            return native_loader.gather_windows(
+                self.X, self.Y, self.time_features, starts, self.L_in
+            )
         window = starts[:, None] + np.arange(self.L_in)[None, :]
         return {
             "x": self.X[window],  # (B, L, N, C)

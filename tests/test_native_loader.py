@@ -1,0 +1,62 @@
+"""Native C batch assembler tests: parity with the numpy path + error handling."""
+
+import numpy as np
+import pytest
+
+from tec_mollm_tpu.data import native_loader
+from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="g++ unavailable; numpy fallback in use"
+)
+
+
+def _split(T=60, N=35, C=6, L_out=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "X": rng.normal(size=(T, N, C)).astype(np.float32),
+        "Y": rng.normal(size=(T, N, L_out)).astype(np.float32),
+        "time_features": rng.integers(0, 12, size=(T, 4)).astype(np.int32),
+    }
+
+
+class TestNativeGather:
+    def test_matches_numpy_path(self):
+        data = _split()
+        ds_native = SlidingWindowDataset(data, L_in=16, L_out=4, stride=2, use_native=True)
+        ds_numpy = SlidingWindowDataset(data, L_in=16, L_out=4, stride=2, use_native=False)
+        idxs = np.array([0, 3, 7, 11])
+        a = ds_native.gather_batch(idxs)
+        b = ds_numpy.gather_batch(idxs)
+        for key in ("x", "y", "time_features"):
+            np.testing.assert_array_equal(a[key], b[key])
+
+    def test_single_and_many_threads(self):
+        data = _split(T=200)
+        starts = np.arange(0, 160, 5, dtype=np.int64)
+        one = native_loader.gather_windows(
+            data["X"], data["Y"], data["time_features"], starts, 16, num_threads=1
+        )
+        many = native_loader.gather_windows(
+            data["X"], data["Y"], data["time_features"], starts, 16, num_threads=8
+        )
+        for key in one:
+            np.testing.assert_array_equal(one[key], many[key])
+
+    def test_out_of_bounds_start_rejected(self):
+        data = _split(T=30)
+        with pytest.raises(RuntimeError, match="code 2"):
+            native_loader.gather_windows(
+                data["X"], data["Y"], data["time_features"],
+                np.array([20], dtype=np.int64), 16,
+            )
+
+    def test_standardize_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(3, 2, size=(1000, 6)).astype(np.float32)
+        mean = x.mean(0).astype(np.float64)
+        scale = x.std(0).astype(np.float64)
+        expect = ((x - mean) / scale).astype(np.float32)
+        got = x.copy()
+        assert native_loader.standardize_inplace(got, mean, scale)
+        np.testing.assert_allclose(got, expect, atol=1e-5)
