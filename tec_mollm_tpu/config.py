@@ -215,6 +215,41 @@ class Config:
         )
 
 
+def scale_up_config() -> Config:
+    """The reference's 4-GPU preset (scripts/train_with_dynamic_naming.sh:3-11):
+    L_in=336, stride 3, 6 LLM layers, batch 8, lr 5e-5. 336/4 = 84 latent steps ->
+    21 patches of 4."""
+    model = ModelConfig(llm_layers=6)
+    train = TrainConfig(
+        L_in=336, train_stride=3, batch_size=8, lr=5e-5, accumulation_steps=1
+    )
+    return Config(model=model, train=train).resolved()
+
+
+def long_horizon_config() -> Config:
+    """BASELINE.json config 4: L_in=96 -> L_out=24 with a denser 300 km graph
+    (~2x edges). 96/4 = 24 latent steps -> 6 patches."""
+    train = TrainConfig(L_in=96, L_out=24)
+    data = DataConfig(horizon=24, distance_threshold_km=300.0)
+    return Config(train=train, data=data).resolved()
+
+
+def scaled_backbone_config() -> Config:
+    """BASELINE.json config 5: 6-layer GPT-2-medium-width LoRA backbone
+    (d_llm=1024, 16 heads) for the full-year autoregressive rollout eval."""
+    model = ModelConfig(d_llm=1024, llm_heads=16, llm_layers=6)
+    train = TrainConfig(L_in=48, L_out=12, batch_size=4)
+    return Config(model=model, train=train).resolved()
+
+
+PRESETS = {
+    "default": lambda: Config().resolved(),
+    "scale_up": scale_up_config,
+    "long_horizon": long_horizon_config,
+    "scaled_backbone": scaled_backbone_config,
+}
+
+
 def tiny_config(
     grid_h: int = 6,
     grid_w: int = 8,
