@@ -24,7 +24,7 @@ import numpy as np
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=4, help="microbatch per step")
+    parser.add_argument("--batch-size", type=int, default=8, help="microbatch per step")
     parser.add_argument("--accum", type=int, default=1, help="grad accumulation steps")
     parser.add_argument("--steps", type=int, default=20, help="timed optimizer updates")
     parser.add_argument("--warmup", type=int, default=3)

@@ -91,12 +91,17 @@ class Trainer:
         self.macro_batch = (
             cfg.train.accumulation_steps * cfg.train.batch_size * self.dp
         )
+        # per-host sharding (multi-host pods): each process loads its slice of the
+        # index space — the role DistributedSampler plays in the reference
+        # (train.py:309-310). Single host => one shard.
         self.train_loader = BatchLoader(
             train_ds,
-            batch_size=self.macro_batch,
+            batch_size=self.macro_batch // jax.process_count(),
             shuffle=cfg.train.shuffle,
             seed=cfg.train.seed,
             drop_remainder=True,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index(),
         )
         self.val_loader = (
             BatchLoader(
@@ -176,6 +181,12 @@ class Trainer:
 
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
         arrays = {k: v for k, v in batch.items() if k != "valid"}
+        if jax.process_count() > 1:
+            # each host contributes its local shard of the global batch
+            return {
+                k: jax.make_array_from_process_local_data(self.batch_sharding, v)
+                for k, v in arrays.items()
+            }
         return jax.tree.map(lambda x: jax.device_put(x, self.batch_sharding), arrays)
 
     def train_epoch(self) -> dict[str, float]:

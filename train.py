@@ -49,6 +49,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--no-remat", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     # lifecycle
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (multi-host pods; "
+                        "replaces the torchrun RANK/WORLD_SIZE contract)")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of epoch 0 to this directory")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--run-name", default=None)
     p.add_argument("--config", default=None, help="load full config json")
@@ -90,6 +95,9 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from tec_mollm_tpu.data.dataset import SlidingWindowDataset
     from tec_mollm_tpu.data.scaler import StandardScaler
@@ -139,6 +147,14 @@ def main() -> None:
         )
         trainer.set_params(params)
         logger.info("imported GPT-2 weights from %s", args.gpt2_checkpoint)
+
+    if args.profile_dir:
+        from tec_mollm_tpu.utils.profiler import trace
+
+        with trace(args.profile_dir):
+            trainer.epoch = 0
+            trainer.train_epoch()
+        logger.info("profiler trace written to %s", args.profile_dir)
 
     history = trainer.fit(resume=args.resume)
     if history:
