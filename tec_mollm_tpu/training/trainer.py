@@ -28,7 +28,6 @@ import numpy as np
 from tec_mollm_tpu.config import Config
 from tec_mollm_tpu.data.dataset import BatchLoader, SlidingWindowDataset
 from tec_mollm_tpu.data.scaler import StandardScaler
-from tec_mollm_tpu.evaluation.metrics import evaluate_horizons
 from tec_mollm_tpu.graph.builder import GraphData
 from tec_mollm_tpu.models.tec_mollm import TECMoLLM
 from tec_mollm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
@@ -212,24 +211,29 @@ class Trainer:
         }
 
     def validate(self) -> tuple[float, dict[str, Any]]:
+        """Streaming validation: per-batch metrics reduce on device to (L_out, 8)
+        sufficient statistics — no prediction tensors ever reach the host (unlike
+        the reference, which concatenates everything, train.py:153-164)."""
         assert self.val_loader is not None
-        losses, weights = [], []
-        preds_all, trues_all = [], []
+        from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
+
+        acc = StreamingHorizonMetrics(self.cfg.train.L_out, self.target_scaler)
+        loss_terms: list[tuple[Any, int]] = []
         for batch in self.val_loader:
             valid = batch["valid"]
             dev_batch = self._put(batch)
-            dev_batch["valid"] = jax.device_put(valid, self.batch_sharding)
-            loss, preds, trues = self._eval_step(self.state.params, dev_batch, self.graph_dev)
+            valid_dev = jax.device_put(valid, self.batch_sharding)
+            dev_batch["valid"] = valid_dev
+            loss, preds, trues = self._eval_step(
+                self.state.params, dev_batch, self.graph_dev
+            )
             n_valid = int(valid.sum())
-            losses.append(float(loss) * n_valid)
-            weights.append(n_valid)
-            preds_all.append(np.asarray(preds)[: n_valid])
-            trues_all.append(np.asarray(trues)[: n_valid])
-        avg_loss = float(np.sum(losses) / max(np.sum(weights), 1))
-        y_pred = np.concatenate(preds_all, axis=0)
-        y_true = np.concatenate(trues_all, axis=0)
-        metrics = evaluate_horizons(y_true, y_pred, self.target_scaler)
-        return avg_loss, metrics
+            loss_terms.append((loss, n_valid))
+            acc.update(trues, preds, valid_dev)
+        total = sum(float(loss) * n for loss, n in loss_terms)
+        count = sum(n for _, n in loss_terms)
+        avg_loss = total / max(count, 1)
+        return avg_loss, acc.finalize()
 
     # ------------------------------------------------------------------
 
