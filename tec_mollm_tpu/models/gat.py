@@ -107,6 +107,7 @@ class GATv2Stencil(nn.Module):
     negative_slope: float = 0.2
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False  # fused VMEM kernel for the deterministic path
 
     @nn.compact
     def __call__(
@@ -136,6 +137,22 @@ class GATv2Stencil(nn.Module):
         xl_t = to_lane(xl)
         xr_t = to_lane(xr)
         shifts = tuple(int(s) for s in shifts)
+
+        if self.use_pallas and (deterministic or self.dropout == 0.0):
+            # fused Pallas kernel (ops/gat_stencil.py): negative_slope fixed at 0.2
+            from tec_mollm_tpu.ops.gat_stencil import gat_stencil_attention
+
+            n = x.shape[-2]
+            lead = x.shape[:-2]
+            xl_m = xl_t.reshape(-1, h * c, n)
+            xr_m = xr_t.reshape(-1, h * c, n)
+            out = gat_stencil_attention(
+                xl_m, xr_m, valid, att.reshape(h, c), shifts
+            )
+            out = jnp.moveaxis(out.reshape(lead + (h, c, n)), -1, -3)
+            out = out.reshape(lead + (n, h * c))
+            bias = self.param("bias", nn.initializers.zeros, (h * c,))
+            return out + bias.astype(self.dtype)
 
         def shifted(o: int) -> jnp.ndarray:
             # value at node n becomes xl[n + shift] (wrap masked by valid)

@@ -10,9 +10,13 @@ Behavioral contract (reference /root/reference/src/model/modules.py:13-154):
     Linear(patch_len*latent -> d_llm) (modules.py:90-119).
 
 TPU-first notes: convolutions run feature-last (B, L, C) so XLA lowers them onto the
-MXU as batched matmuls; the three kernel sizes + GroupNorm + GELU fuse in one jitted
-region (no intermediate HBM round-trips). GroupNorm with a single group normalizes
-over (L, C) jointly per sample, matching torch GroupNorm semantics.
+MXU as batched matmuls. With `fuse_branches` (default) the three kernel sizes are
+zero-padded to the largest and concatenated along output channels, so each block's
+three parallel convs execute as ONE fat conv (same math: a k=3 SAME conv equals a
+k=7 SAME conv whose kernel is zero-padded symmetrically). Parameters stay separate
+per branch, so checkpoints are identical between the fused and unfused paths.
+GroupNorm with a single group normalizes over (L, C) jointly per sample, matching
+torch GroupNorm semantics.
 """
 
 from __future__ import annotations
@@ -20,33 +24,87 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tec_mollm_tpu.config import ModelConfig
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's {kernel, bias} naming/init, so the fused
+    execution path shares checkpoints with plain nn.Conv branches."""
+
+    features: int
+    kernel_size: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class MultiScaleConvBlock(nn.Module):
     out_channels: int
     stride: int
     kernel_sizes: Sequence[int] = (3, 5, 7)
+    fuse_branches: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, L, C_in) -> (B, L // stride, C_out)."""
-        branches = []
-        for k in self.kernel_sizes:
-            h = nn.Conv(
-                self.out_channels,
-                kernel_size=(k,),
-                padding="SAME",  # == torch padding=(k-1)//2 for odd k, stride 1
-                dtype=self.dtype,
-                name=f"conv_k{k}",
-            )(x)
-            h = nn.GroupNorm(
+        in_features = x.shape[-1]
+        norms = {
+            k: nn.GroupNorm(
                 num_groups=1, epsilon=1e-5, dtype=self.dtype, name=f"norm_k{k}"
-            )(h)
-            branches.append(nn.gelu(h, approximate=False))
+            )
+            for k in self.kernel_sizes
+        }
+
+        if self.fuse_branches:
+            kmax = max(self.kernel_sizes)
+            kernels, biases = [], []
+            for k in self.kernel_sizes:
+                w, b = _ConvParams(
+                    self.out_channels, k, in_features, name=f"conv_k{k}"
+                )()
+                pad = (kmax - k) // 2
+                kernels.append(jnp.pad(w, ((pad, pad), (0, 0), (0, 0))))
+                biases.append(b)
+            big_kernel = jnp.concatenate(kernels, axis=-1).astype(self.dtype)
+            big_bias = jnp.concatenate(biases).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                big_kernel,
+                window_strides=(1,),
+                padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + big_bias
+            branches = [
+                nn.gelu(norms[k](part), approximate=False)
+                for k, part in zip(
+                    self.kernel_sizes,
+                    jnp.split(y, len(self.kernel_sizes), axis=-1),
+                )
+            ]
+        else:
+            branches = []
+            for k in self.kernel_sizes:
+                h = nn.Conv(
+                    self.out_channels,
+                    kernel_size=(k,),
+                    padding="SAME",  # == torch padding=(k-1)//2 for odd k, stride 1
+                    dtype=self.dtype,
+                    name=f"conv_k{k}",
+                )(x)
+                branches.append(nn.gelu(norms[k](h), approximate=False))
+
         concat = jnp.concatenate(branches, axis=-1)
         # 1x1 strided conv: picks every stride-th position (torch Conv1d k=1 stride=s)
         return nn.Conv(
@@ -80,6 +138,7 @@ class LatentPatchingProjection(nn.Module):
 class TemporalEncoder(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
+    fuse_branches: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +152,7 @@ class TemporalEncoder(nn.Module):
                 out_channels=ch,
                 stride=stride,
                 kernel_sizes=cfg.conv_kernel_sizes,
+                fuse_branches=self.fuse_branches,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x)

@@ -1,0 +1,100 @@
+"""Pallas TPU kernel for stencil graph attention (GATv2 on regular grids).
+
+Fuses the whole per-graph-slice attention — the O (~11) neighbor shifts, leaky-relu
+scoring, masked softmax over offsets, and the weighted neighbor sum — in VMEM, so
+HBM sees exactly one read of the projected features and one write of the output
+(the XLA path materializes per-offset score/weight arrays between fusions).
+
+Shapes: one program per graph slice m in [0, M = B*L):
+    xl, xr: (M, H*C, N)   projected features, node axis in lanes
+    valid:  (O, N)        per-offset neighbor validity
+    out:    (M, H*C, N)
+
+Used by models/gat.py for the deterministic (eval/rollout) path; training keeps the
+XLA stencil because attention dropout needs JAX PRNG threading. The XLA stencil in
+GATv2Stencil is the numerical golden (tests run this kernel in interpreter mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = float(jnp.finfo(jnp.float32).min)
+
+
+def _kernel(xl_ref, xr_ref, valid_ref, att_ref, out_ref, *, shifts, heads, c):
+    """xl_ref/xr_ref: (1, H*C, N); valid_ref: (O, N) float 0/1; att_ref: (H, C)."""
+    n = xl_ref.shape[-1]
+    xl = xl_ref[0].astype(jnp.float32).reshape(heads, c, n)
+    xr = xr_ref[0].astype(jnp.float32).reshape(heads, c, n)
+    att = att_ref[:].astype(jnp.float32)  # (H, C)
+
+    def rolled(o: int) -> jnp.ndarray:
+        # want rolled[n] = xl[n + shift]; roll by (-shift) mod n along lanes
+        sh = (-shifts[o]) % n
+        return pltpu.roll(xl, sh, axis=2) if sh else xl
+
+    num_o = len(shifts)
+    scores = []
+    for o in range(num_o):
+        e = rolled(o) + xr
+        e = jnp.where(e >= 0, e, 0.2 * e)  # leaky_relu, slope 0.2
+        s = jnp.sum(e * att[:, :, None], axis=1)  # (H, N)
+        v = valid_ref[o, :][None, :] > 0.5  # (1, N)
+        scores.append(jnp.where(v, s, _NEG))
+
+    m = scores[0]
+    for s in scores[1:]:
+        m = jnp.maximum(m, s)
+    weights = []
+    denom = jnp.zeros_like(m)
+    for o in range(num_o):
+        v = valid_ref[o, :][None, :] > 0.5
+        w = jnp.where(v, jnp.exp(scores[o] - m), 0.0)
+        weights.append(w)
+        denom = denom + w
+
+    acc = jnp.zeros((heads, c, n), jnp.float32)
+    for o in range(num_o):
+        alpha = weights[o] / denom  # (H, N)
+        acc = acc + alpha[:, None, :] * rolled(o)
+
+    out_ref[0] = acc.reshape(heads * c, n).astype(out_ref.dtype)
+
+
+def gat_stencil_attention(
+    xl: jnp.ndarray,       # (M, H*C, N)
+    xr: jnp.ndarray,       # (M, H*C, N)
+    valid: jnp.ndarray,    # (O, N) bool or 0/1
+    att: jnp.ndarray,      # (H, C)
+    shifts: tuple[int, ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused forward attention. Returns (M, H*C, N) in xl's dtype."""
+    m_dim, hc, n = xl.shape
+    heads, c = att.shape
+    assert heads * c == hc
+    valid = valid.astype(jnp.float32)
+    kernel = functools.partial(_kernel, shifts=tuple(shifts), heads=heads, c=c)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m_dim, hc, n), xl.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(m_dim,),
+            in_specs=[
+                pl.BlockSpec((1, hc, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hc, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((valid.shape[0], n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((heads, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, hc, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(xl, xr, valid, att)

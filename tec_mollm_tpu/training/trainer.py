@@ -239,6 +239,34 @@ class Trainer:
 
     def fit(self, resume: bool = False) -> list[dict[str, Any]]:
         cfg = self.cfg
+        # graceful shutdown: SIGTERM/SIGINT finish the current epoch, checkpoint,
+        # and exit resumable (the reference has no failure handling beyond
+        # try/finally destroy_process_group, SURVEY.md §5)
+        import signal
+
+        stop_requested = {"flag": False}
+
+        def _request_stop(signum, frame):
+            logger.warning("signal %s received: will checkpoint and stop", signum)
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # not the main thread
+                pass
+
+        try:
+            return self._fit_loop(resume, stop_requested)
+        finally:
+            for sig, handler in old_handlers.items():
+                signal.signal(sig, handler)
+
+    def _fit_loop(
+        self, resume: bool, stop_requested: dict[str, bool]
+    ) -> list[dict[str, Any]]:
+        cfg = self.cfg
         if resume and self.ckpt.has_checkpoint("latest"):
             self.state, meta = self.ckpt.restore_state(self.state, "latest")
             self.epoch = meta["epoch"] + 1
@@ -303,5 +331,8 @@ class Trainer:
 
             if self.patience_counter >= cfg.train.patience:
                 logger.info("early stopping at epoch %d", epoch + 1)
+                break
+            if stop_requested["flag"]:
+                logger.warning("stopping after epoch %d on signal (resumable)", epoch)
                 break
         return self.history

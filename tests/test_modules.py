@@ -190,6 +190,19 @@ class TestTemporal:
         out = np.asarray(mod.apply(params, jnp.asarray(x)))
         np.testing.assert_allclose(out, expect, atol=2e-5)
 
+    def test_fused_equals_unfused(self):
+        """Zero-padded-kernel fusion must be exactly the three separate convs."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 16, 6)).astype(np.float32))
+        fused = MultiScaleConvBlock(out_channels=8, stride=2, fuse_branches=True)
+        params = fused.init(jax.random.key(0), x)
+        unfused = MultiScaleConvBlock(out_channels=8, stride=2, fuse_branches=False)
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(params, x)),
+            np.asarray(unfused.apply(params, x)),
+            atol=1e-5,
+        )
+
     def test_temporal_encoder_pipeline(self, cfg):
         mod = TemporalEncoder(cfg)
         x = jnp.ones((5, cfg.temporal_seq_len, cfg.spatial_channels))

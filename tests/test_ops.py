@@ -19,6 +19,36 @@ def _qkv(b=2, t=256, h=4, d=64, dtype=np.float32, seed=0):
     return mk(), mk(), mk()
 
 
+class TestGATStencilKernel:
+    def test_matches_xla_stencil_module(self, tiny_graph):
+        """Pallas fused stencil attention (interpret mode) vs the XLA GATv2Stencil."""
+        from tec_mollm_tpu.models.gat import GATv2Stencil
+        from tec_mollm_tpu.ops.gat_stencil import gat_stencil_attention
+
+        rng = np.random.default_rng(0)
+        h, c = 2, 11
+        n = tiny_graph.num_nodes
+        x = jnp.asarray(rng.normal(size=(3, n, 22)).astype(np.float32))
+        shifts = tuple(int(s) for s in tiny_graph.stencil_shifts)
+        valid = jnp.asarray(tiny_graph.stencil_valid)
+
+        mod = GATv2Stencil(out_channels=c, heads=h)
+        params = mod.init(jax.random.key(0), x, shifts, valid)
+        expect = mod.apply(params, x, shifts, valid)
+
+        p = params["params"]
+        xl = (x @ p["lin_l"]["kernel"] + p["lin_l"]["bias"]).reshape(3, n, h, c)
+        xr = (x @ p["lin_r"]["kernel"] + p["lin_r"]["bias"]).reshape(3, n, h, c)
+        to_lane = lambda a: jnp.moveaxis(a, 1, -1).reshape(3, h * c, n)
+        out = gat_stencil_attention(
+            to_lane(xl), to_lane(xr), valid,
+            jnp.asarray(p["att"]).reshape(h, c), shifts, interpret=True,
+        )
+        out = jnp.moveaxis(out.reshape(3, h, c, n), -1, 1).reshape(3, n, h * c)
+        out = out + p["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=3e-5)
+
+
 class TestFlashAttention:
     @pytest.mark.parametrize("causal", [True, False])
     def test_kernel_matches_reference(self, causal):
