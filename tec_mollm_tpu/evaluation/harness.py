@@ -159,6 +159,92 @@ def load_params_for_eval(cfg: Config, checkpoint_path: str, graph: GraphData) ->
     )
 
 
+def run_rollout_eval(
+    cfg: Config,
+    data_dir: str,
+    checkpoint: str,
+    rollout_steps: int,
+    num_windows: int = 8,
+    output_dir: str = "results",
+    workdir: str = ".",
+) -> dict[str, Any]:
+    """Autoregressive rollout beyond L_out on the test split (BASELINE config 5).
+
+    Takes `num_windows` evenly spaced test windows, rolls each out
+    `rollout_steps` steps feeding predictions back, and scores against the true
+    TEC (physical units, reference clip semantics). Exogenous space-weather and
+    time features come from the observed data."""
+    import numpy as np
+
+    from tec_mollm_tpu.evaluation.rollout import autoregressive_rollout
+
+    cfg = cfg.resolved()
+    L_in = cfg.train.L_in
+    L_out = cfg.train.L_out
+    total = -(-rollout_steps // L_out) * L_out
+
+    with np.load(os.path.join(data_dir, "test_set.npz")) as d:
+        X = d["X"]  # (T, N, C) feature-scaled
+        TF = d["time_features"]
+    graph = GraphData.load(os.path.join(data_dir, "graph.npz"))
+    fscaler = StandardScaler.load(os.path.join(data_dir, "scaler.npz"))
+    tscaler = StandardScaler.load(os.path.join(data_dir, "target_scaler.npz"))
+
+    max_start = X.shape[0] - L_in - total
+    if max_start < 0:
+        raise ValueError(
+            f"test split too short for a {rollout_steps}-step rollout "
+            f"(need {L_in + total} steps, have {X.shape[0]})"
+        )
+    starts = np.unique(np.linspace(0, max_start, num_windows, dtype=np.int64))
+
+    ckpt_path = resolve_checkpoint(checkpoint, workdir)
+    params = load_params_for_eval(cfg, ckpt_path, graph)
+
+    x_init = np.stack([X[s : s + L_in] for s in starts])
+    tf_full = np.stack([TF[s : s + L_in + total] for s in starts])
+    sw_future = np.stack(
+        [X[s + L_in : s + L_in + total, 0, 1:] for s in starts]
+    )  # indices are node-constant; take node 0
+    preds_scaled = autoregressive_rollout(
+        cfg, params, graph, x_init, tf_full, sw_future, rollout_steps,
+        feature_scaler=fscaler, target_scaler=tscaler,
+    )  # (W, steps, N, 1) target-scaled
+
+    # truths: feature-scaled TEC channel -> physical
+    truth_scaled = np.stack(
+        [X[s + L_in : s + L_in + rollout_steps, :, 0] for s in starts]
+    )[..., None]
+    truth_phys = (
+        truth_scaled * fscaler.scale_[0] + fscaler.mean_[0]
+    )
+    preds_phys = preds_scaled * tscaler.scale_[0] + tscaler.mean_[0]
+    preds_phys = np.clip(preds_phys, 0.0, 200.0)
+
+    err = preds_phys - truth_phys
+    per_step_mae = np.abs(err).mean(axis=(0, 2, 3))
+    per_step_rmse = np.sqrt((err**2).mean(axis=(0, 2, 3)))
+    result = {
+        "rollout_steps": rollout_steps,
+        "num_windows": int(len(starts)),
+        "mae_avg": float(per_step_mae.mean()),
+        "rmse_avg": float(per_step_rmse.mean()),
+        "mae_by_step": per_step_mae.tolist(),
+        "rmse_by_step": per_step_rmse.tolist(),
+    }
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.join(output_dir, "rollout_results.csv")
+    with open(path, "w") as f:
+        f.write("step,mae,rmse\n")
+        for i, (a, r) in enumerate(zip(per_step_mae, per_step_rmse), 1):
+            f.write(f"{i},{a:.6f},{r:.6f}\n")
+    logger.info(
+        "rollout %d steps over %d windows: MAE %.4f RMSE %.4f (-> %s)",
+        rollout_steps, len(starts), result["mae_avg"], result["rmse_avg"], path,
+    )
+    return result
+
+
 def run_evaluation(
     cfg: Config,
     data_dir: str,

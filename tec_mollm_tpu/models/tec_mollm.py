@@ -56,6 +56,9 @@ class TECMoLLM(nn.Module):
     remat_llm: bool = False
     use_flash: bool = False
     stencil_shifts: tuple[int, ...] | None = None
+    # branch-fused temporal convs measured neutral-to-slightly-slower on v5e
+    # (189 vs 185 ms/step interleaved A/B); XLA already fuses the three branches
+    fuse_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -84,7 +87,9 @@ class TECMoLLM(nn.Module):
         h = h.transpose(0, 2, 1, 3).reshape(b * n, l, c)
 
         # 6. temporal encoder: (B*N, L, 22) -> (B*N, P, d_llm)
-        h = TemporalEncoder(cfg, dtype=self.dtype, name="temporal")(h)
+        h = TemporalEncoder(
+            cfg, dtype=self.dtype, fuse_branches=self.fuse_conv, name="temporal"
+        )(h)
 
         # 7. LLM backbone (+ dropout 0.1, reference tec_mollm.py:115)
         h = GPT2Backbone(

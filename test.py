@@ -26,6 +26,10 @@ def main() -> None:
     p.add_argument("--config", default=None,
                    help="config json (e.g. checkpoints/<run>/config.json); "
                         "overrides the individual model flags")
+    p.add_argument("--rollout-steps", type=int, default=0,
+                   help="also run an autoregressive rollout eval this many steps "
+                        "beyond L_out (predictions fed back as inputs)")
+    p.add_argument("--rollout-windows", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -67,6 +71,19 @@ def main() -> None:
         batch_size=args.batch_size,
         workdir=args.workdir,
     )
+
+    if args.rollout_steps > 0:
+        from tec_mollm_tpu.evaluation.harness import run_rollout_eval
+
+        run_rollout_eval(
+            cfg.resolved(),
+            data_dir=args.data_dir,
+            checkpoint=args.checkpoint,
+            rollout_steps=args.rollout_steps,
+            num_windows=args.rollout_windows,
+            output_dir=args.output_dir,
+            workdir=args.workdir,
+        )
 
 
 if __name__ == "__main__":
