@@ -36,7 +36,8 @@ def get_model_predictions(
     batch_size: int = 16,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Run inference over the whole dataset -> (y_true, y_pred), each
-    (num_samples, L_out, N, 1) in scaled units."""
+    (num_samples, L_out, N, 1) in scaled units. Materializes predictions on the
+    host — prefer evaluate_model_streaming for metrics-only evaluation."""
     import jax
     import jax.numpy as jnp
 
@@ -63,6 +64,52 @@ def get_model_predictions(
         preds_all.append(np.asarray(preds)[:n_valid])
         trues_all.append(np.asarray(trues)[:n_valid])
     return np.concatenate(trues_all), np.concatenate(preds_all)
+
+
+def evaluate_model_streaming(
+    cfg: Config,
+    params: Any,
+    dataset: SlidingWindowDataset,
+    graph: GraphData,
+    scaler: StandardScaler | None,
+    batch_size: int = 16,
+) -> dict[str, Any]:
+    """Inference + metrics without materializing predictions on the host: each
+    batch reduces to (L_out, 8) sufficient statistics on device
+    (evaluation/streaming.py). Exact same numbers as evaluate_horizons."""
+    import jax
+    import jax.numpy as jnp
+
+    from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
+    from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.models.tec_mollm import graph_inputs
+    from tec_mollm_tpu.training.train_state import make_eval_step
+
+    stencil_shifts, graph_dev = graph_inputs(graph)
+    model = TECMoLLM(
+        cfg.model,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        stencil_shifts=stencil_shifts,
+    )
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    acc = StreamingHorizonMetrics(cfg.train.L_out, scaler)
+    loader = BatchLoader(dataset, batch_size=batch_size, drop_remainder=False, prefetch=2)
+    for batch in loader:
+        valid = batch.pop("valid")
+        dev = jax.tree.map(jnp.asarray, batch)
+        valid_dev = jnp.asarray(valid)
+        dev["valid"] = valid_dev
+        _, preds, trues = eval_step(params, dev, graph_dev)
+        acc.update(trues, preds, valid_dev)
+    return acc.finalize()
+
+
+def host_targets(dataset: SlidingWindowDataset) -> np.ndarray:
+    """All targets in the model's output layout (num_samples, L_out, N, 1), taken
+    straight from the dataset on the host (no device round trip)."""
+    idxs = np.arange(len(dataset))
+    y = dataset.gather_batch(idxs)["y"]  # (S, N, L_out)
+    return y.transpose(0, 2, 1)[..., None]
 
 
 def get_baseline_predictions(dataset: SlidingWindowDataset, L_out: int) -> np.ndarray:
@@ -266,13 +313,16 @@ def run_evaluation(
     params = load_params_for_eval(cfg, ckpt_path, graph)
 
     logger.info("running model inference over %d test windows", len(test_ds))
-    y_true, y_pred = get_model_predictions(cfg, params, test_ds, graph, batch_size)
+    # model: streaming on-device metrics (no prediction tensors reach the host);
+    # HA baseline: host-side windows + the exact metric suite
+    model_metrics = evaluate_model_streaming(
+        cfg, params, test_ds, graph, scaler, batch_size
+    )
+    y_true = host_targets(test_ds)
     y_pred_ha = get_baseline_predictions(test_ds, cfg.train.L_out)
-
-    n = min(len(y_true), len(y_pred_ha))
     results = {
-        "TEC-MoLLM": evaluate_horizons(y_true[:n], y_pred[:n], scaler),
-        "HistoricalAverage": evaluate_horizons(y_true[:n], y_pred_ha[:n], scaler),
+        "TEC-MoLLM": model_metrics,
+        "HistoricalAverage": evaluate_horizons(y_true, y_pred_ha, scaler),
     }
     improvements = improvement_report(results["TEC-MoLLM"], results["HistoricalAverage"])
     csv_path, txt_path = write_results(results, improvements, output_dir)
