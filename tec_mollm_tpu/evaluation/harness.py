@@ -23,7 +23,7 @@ from tec_mollm_tpu.data.scaler import StandardScaler
 from tec_mollm_tpu.evaluation.metrics import evaluate_horizons
 from tec_mollm_tpu.graph.builder import GraphData
 from tec_mollm_tpu.models.baselines import WindowMeanBaseline
-from tec_mollm_tpu.training.checkpoint import CheckpointManager, find_latest_checkpoint
+from tec_mollm_tpu.training.checkpoint import find_latest_checkpoint
 
 logger = logging.getLogger(__name__)
 
