@@ -18,6 +18,9 @@ def run_cli(args, cwd, timeout=600):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"  # harmless if sitecustomize already decided
+    # keep CLI test subprocesses off the TPU tunnel entirely: the axon plugin
+    # registers an exclusive device session from sitecustomize even for CPU runs
+    env["PALLAS_AXON_POOL_IPS"] = ""
     proc = subprocess.run(
         [sys.executable] + args,
         cwd=cwd,
@@ -100,6 +103,32 @@ class TestCLIPipeline:
         assert "Improvement" in summary
         csv = (wd / "results" / "evaluation_results.csv").read_text().splitlines()
         assert len(csv) == 3  # header + 2 models
+
+    def test_preprocess_from_hdf5_files(self, tmp_path):
+        """The real-data path: CRIM-layout HDF5 files -> processed npz splits."""
+        from tec_mollm_tpu.data.synthetic import write_synthetic_hdf5
+
+        raw = tmp_path / "data" / "raw"
+        raw.mkdir(parents=True)
+        for year in (2021, 2022, 2024):
+            write_synthetic_hdf5(
+                str(raw / f"CRIM_SW2hr_AI_v1.2_{year}_DataDrivenRange_CN.hdf5"),
+                year=year, num_steps=40, grid_h=5, grid_w=7,
+            )
+        run_cli(
+            [
+                "-m", "tec_mollm_tpu.data.preprocess",
+                "--raw-dir", "data/raw", "--horizon", "4", "--out", "proc",
+            ],
+            cwd=str(tmp_path),
+        )
+        import numpy as np
+
+        with np.load(tmp_path / "proc" / "train_set.npz") as d:
+            assert d["X"].shape == (40 - 4, 35, 6)  # 40 steps - horizon, flattened
+        meta = json.loads((tmp_path / "proc" / "preprocess_meta.json").read_text())
+        assert meta["synthetic"] is False
+        assert meta["grid"] == [5, 7]
 
     def test_bench_quick(self, workdir):
         wd, _ = workdir
