@@ -180,6 +180,10 @@ class Trainer:
 
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
         arrays = {k: v for k, v in batch.items() if k != "valid"}
+        if self.cfg.train.bf16:
+            # the model casts x to bf16 anyway; casting on the host halves the
+            # host->device bytes for the biggest tensor (y stays fp32 for the loss)
+            arrays["x"] = arrays["x"].astype(jnp.bfloat16)
         if jax.process_count() > 1:
             # each host contributes its local shard of the global batch
             return {
