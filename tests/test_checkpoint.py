@@ -30,7 +30,6 @@ class TestCheckpointManager:
         mgr = CheckpointManager(str(tmp_path), "run1")
         state = _state(1)
         mgr.save_state(state, {"epoch": 3, "best_val_loss": 0.5, "patience_counter": 2})
-        template = jax.tree.map(jnp.zeros_like, state, is_leaf=lambda x: x is None)
         restored, meta = mgr.restore_state(_state(99), "latest")
         np.testing.assert_array_equal(restored.trainable["a"], state.trainable["a"])
         np.testing.assert_array_equal(
