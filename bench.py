@@ -32,6 +32,9 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--no-remat", action="store_true", help="disable LLM remat")
     parser.add_argument("--no-bf16", action="store_true", help="fp32 compute")
+    parser.add_argument("--preset", default="default",
+                        help="config preset: default | scale_up | long_horizon | "
+                             "scaled_backbone")
     args = parser.parse_args()
 
     if args.cpu:
@@ -44,7 +47,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from tec_mollm_tpu.config import Config, tiny_config
+    from tec_mollm_tpu.config import PRESETS, tiny_config
     from tec_mollm_tpu.data.dataset import SlidingWindowDataset
     from tec_mollm_tpu.data.synthetic import grid_coordinates, synthetic_processed_split
     from tec_mollm_tpu.graph import build_graph
@@ -55,7 +58,7 @@ def main() -> None:
         cfg = tiny_config()
         steps = 3
     else:
-        cfg = Config().resolved()
+        cfg = PRESETS[args.preset]()
         steps = args.steps
     cfg = dataclasses.replace(
         cfg,
@@ -93,7 +96,7 @@ def main() -> None:
         stencil_shifts=stencil_shifts,
     )
     state, tx, mask = create_train_state(
-        model, cfg, jax.random.key(0), batch_np, graph,
+        model, cfg, jax.random.key(0, impl=cfg.train.prng_impl), batch_np, graph,
         frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
     )
     batch = jax.tree.map(jnp.asarray, batch_np)

@@ -136,6 +136,9 @@ class TrainConfig:
     sched_t_mult: int = 2
     sched_eta_min: float = 1e-7
     seed: int = 0
+    # dropout PRNG implementation: 'rbg' compiles ~8x faster than threefry through
+    # the TPU compiler at identical step time (measured interleaved on v5e)
+    prng_impl: str = "rbg"
     bf16: bool = True              # bf16 compute, fp32 params (no loss scaling on TPU)
     # Remat on the GPT-2 blocks trades ~23% step time for activation memory; at the
     # default B=8/L_in=48 everything fits without it (measured on v5e). Enable for

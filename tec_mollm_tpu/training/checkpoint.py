@@ -31,13 +31,14 @@ def _to_saveable(state: TrainState) -> dict[str, Any]:
     }
 
 
-def _from_saveable(tree: dict[str, Any]) -> TrainState:
+def _from_saveable(tree: dict[str, Any], rng_like: jax.Array) -> TrainState:
     return TrainState(
         step=tree["step"],
         trainable=tree["trainable"],
         frozen=tree["frozen"],
         opt_state=tree["opt_state"],
-        rng=jax.random.wrap_key_data(tree["rng"]),
+        # wrap with the template's PRNG impl (rbg vs threefry key_data differ)
+        rng=jax.random.wrap_key_data(tree["rng"], impl=jax.random.key_impl(rng_like)),
     )
 
 
@@ -77,7 +78,7 @@ class CheckpointManager:
         restored = self._ckptr.restore(path, _to_saveable(template))
         with open(path + ".meta.json") as f:
             meta = json.load(f)
-        return _from_saveable(restored), meta
+        return _from_saveable(restored, template.rng), meta
 
     def has_checkpoint(self, name: str = "latest") -> bool:
         return os.path.exists(os.path.join(self.dir, name))

@@ -121,7 +121,9 @@ class Trainer:
         # weights; no optimizer state to keep in fp32)
         sample = train_ds.gather_batch(np.arange(min(1, len(train_ds))))
         state, tx, self._mask = create_train_state(
-            self.model, cfg, jax.random.key(cfg.train.seed), sample, self.graph_dev,
+            self.model, cfg,
+            jax.random.key(cfg.train.seed, impl=cfg.train.prng_impl),
+            sample, self.graph_dev,
             frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
         )
         # Every leaf of the state must live on the mesh: params per their specs,
