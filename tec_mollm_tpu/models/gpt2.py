@@ -76,35 +76,84 @@ class GPT2Attention(nn.Module):
         return nn.Dropout(rate=cfg.llm_dropout, deterministic=deterministic)(out)
 
 
-class GPT2MLP(nn.Module):
-    cfg: ModelConfig
-    dtype: jnp.dtype = jnp.float32
+class _DenseParams(nn.Module):
+    """Parameter holder matching LoRADense(rank=0)'s {kernel, bias} names/inits, so
+    the fused-MLP execution path shares checkpoints with the modular path."""
+
+    features: int
+    in_features: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        d = x.shape[-1]
-        h = LoRADense(features=self.cfg.llm_mlp_ratio * d, rank=0, dtype=self.dtype, name="c_fc")(x)
-        # HF GPT-2 activation is gelu_new == tanh-approximate gelu
-        h = nn.gelu(h, approximate=True)
-        h = LoRADense(features=d, rank=0, dtype=self.dtype, name="c_proj")(h)
-        return nn.Dropout(rate=self.cfg.llm_dropout, deterministic=deterministic)(h)
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.normal(stddev=0.02),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _MLPParams(nn.Module):
+    d: int
+    ratio: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.ratio * self.d, self.d, name="c_fc")()
+        w2, b2 = _DenseParams(self.d, self.ratio * self.d, name="c_proj")()
+        return w1, b1, w2, b2
 
 
 class GPT2Block(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        ln = partial(nn.LayerNorm, epsilon=1e-5, dtype=self.dtype)
-        h = ln(name="ln_1")(x)
-        x = x + GPT2Attention(self.cfg, dtype=self.dtype, use_flash=self.use_flash, name="attn")(
+        cfg = self.cfg
+        d = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        x = x + GPT2Attention(cfg, dtype=self.dtype, use_flash=self.use_flash, name="attn")(
             h, deterministic=deterministic
         )
-        h = ln(name="ln_2")(x)
-        x = x + GPT2MLP(self.cfg, dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
-        return x
+
+        # MLP residual branch: ln_2 -> c_fc -> gelu_new -> c_proj (-> dropout).
+        # Parameters are declared via holders so the fused Pallas path
+        # (ops/fused_mlp.py) and the modular path share one checkpoint layout.
+        ln_s, ln_b = _LNParams(d, name="ln_2")()
+        w1, b1, w2, b2 = _MLPParams(d, cfg.llm_mlp_ratio, name="mlp")()
+
+        if self.use_fused_mlp and deterministic:
+            from tec_mollm_tpu.ops.fused_mlp import fused_ln_mlp
+
+            rows = x.reshape(-1, d)
+            out = fused_ln_mlp(rows, ln_s, ln_b, w1, b1, w2, b2)
+            return out.reshape(x.shape).astype(x.dtype)
+
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+        h = (h * ln_s + ln_b).astype(self.dtype)
+        h = h @ w1.astype(self.dtype) + b1.astype(self.dtype)
+        h = nn.gelu(h, approximate=True)  # HF gelu_new
+        h = h @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        h = nn.Dropout(rate=cfg.llm_dropout, deterministic=deterministic)(h)
+        return x + h
+
+
+class _LNParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's {scale, bias}."""
+
+    d: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        scale = self.param("scale", nn.initializers.ones, (self.d,))
+        bias = self.param("bias", nn.initializers.zeros, (self.d,))
+        return scale, bias
 
 
 class GPT2Backbone(nn.Module):
@@ -114,6 +163,7 @@ class GPT2Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_flash: bool = False
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -131,7 +181,11 @@ class GPT2Backbone(nn.Module):
         if self.remat:
             block_cls = nn.remat(GPT2Block, static_argnums=(2,))
         for i in range(cfg.llm_layers):
-            x = block_cls(cfg, dtype=self.dtype, use_flash=self.use_flash, name=f"h_{i}")(
-                x, deterministic
-            )
+            x = block_cls(
+                cfg,
+                dtype=self.dtype,
+                use_flash=self.use_flash,
+                use_fused_mlp=self.use_fused_mlp,
+                name=f"h_{i}",
+            )(x, deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(x)

@@ -59,6 +59,11 @@ class TECMoLLM(nn.Module):
     # branch-fused temporal convs measured neutral-to-slightly-slower on v5e
     # (189 vs 185 ms/step interleaved A/B); XLA already fuses the three branches
     fuse_conv: bool = False
+    # fused ln_2+MLP+residual Pallas kernel for deterministic (eval) calls on TPU
+    # (ops/fused_mlp.py). Measured SLOWER than XLA's own fusion on v5e (163 vs
+    # 139 ms/fwd at B=16, interleaved A/B) — XLA fuses this branch well — so it
+    # stays opt-in; it also compiles 8x faster, useful for one-shot evals.
+    use_fused_mlp: bool = False
 
     @nn.compact
     def __call__(
@@ -97,6 +102,7 @@ class TECMoLLM(nn.Module):
             dtype=self.dtype,
             remat=self.remat_llm,
             use_flash=self.use_flash,
+            use_fused_mlp=self.use_fused_mlp,
             name="llm",
         )(h, deterministic=deterministic)
         h = nn.Dropout(rate=cfg.post_llm_dropout, deterministic=deterministic)(h)

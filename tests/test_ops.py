@@ -49,6 +49,75 @@ class TestGATStencilKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=3e-5)
 
 
+class TestFusedMLP:
+    def test_kernel_matches_reference(self):
+        from tec_mollm_tpu.ops.fused_mlp import (
+            fused_ln_mlp_interpret,
+            reference_ln_mlp,
+        )
+
+        rng = np.random.default_rng(0)
+        rows, d = 300, 64  # rows not a multiple of the 256 tile: exercises padding
+        x = jnp.asarray(rng.normal(0, 0.5, size=(rows, d)).astype(np.float32))
+        ln_s = jnp.asarray(rng.normal(1, 0.1, size=(d,)).astype(np.float32))
+        ln_b = jnp.asarray(rng.normal(0, 0.1, size=(d,)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.05, size=(d, 4 * d)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, 0.05, size=(4 * d,)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.05, size=(4 * d, d)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, 0.05, size=(d,)).astype(np.float32))
+        expect = reference_ln_mlp(x, ln_s, ln_b, w1, b1, w2, b2)
+        got = fused_ln_mlp_interpret(x, ln_s, ln_b, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=3e-5)
+
+    def test_block_fused_equals_modular(self):
+        """GPT2Block with use_fused_mlp (interpret) == the modular path, shared params."""
+        from unittest import mock
+
+        from tec_mollm_tpu.config import ModelConfig
+        from tec_mollm_tpu.models.gpt2 import GPT2Block
+        from tec_mollm_tpu.ops import fused_mlp
+
+        cfg = ModelConfig(
+            num_nodes=48, grid_h=6, grid_w=8, d_llm=64, llm_heads=4, llm_layers=1,
+            lora_r=4, lora_alpha=8,
+        )
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(0, 0.5, size=(3, 4, 64)).astype(np.float32))
+        plain = GPT2Block(cfg)
+        params = plain.init(jax.random.key(0), x)
+        expect = plain.apply(params, x)
+
+        fused = GPT2Block(cfg, use_fused_mlp=True)
+        # route the kernel through the interpreter on CPU
+        with mock.patch.object(
+            fused_mlp, "fused_ln_mlp", fused_mlp.fused_ln_mlp_interpret
+        ):
+            got = fused.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=3e-5)
+
+    def test_gradients_match_reference(self):
+        from tec_mollm_tpu.ops.fused_mlp import fused_ln_mlp_interpret, reference_ln_mlp
+
+        rng = np.random.default_rng(2)
+        d = 32
+        args = [
+            jnp.asarray(rng.normal(0, 0.3, size=s).astype(np.float32))
+            for s in [(64, d), (d,), (d,), (d, 4 * d), (4 * d,), (4 * d, d), (d,)]
+        ]
+
+        def loss_fused(*a):
+            with jax.disable_jit():
+                return jnp.sum(fused_ln_mlp_interpret(*a) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(reference_ln_mlp(*a) ** 2)
+
+        g_f = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+        g_r = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+        for a, b in zip(g_f, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
 class TestFlashAttention:
     @pytest.mark.parametrize("causal", [True, False])
     def test_kernel_matches_reference(self, causal):
