@@ -35,6 +35,9 @@ def main() -> None:
     parser.add_argument("--preset", default="default",
                         help="config preset: default | scale_up | long_horizon | "
                              "scaled_backbone")
+    parser.add_argument("--eval", action="store_true",
+                        help="measure deterministic eval forward instead of the "
+                             "train step")
     args = parser.parse_args()
 
     if args.cpu:
@@ -100,7 +103,17 @@ def main() -> None:
         frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
     )
     batch = jax.tree.map(jnp.asarray, batch_np)
-    step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
+    if args.eval:
+        from tec_mollm_tpu.training.train_state import make_eval_step
+
+        merged = state.params
+        eval_fn = jax.jit(make_eval_step(model, cfg))
+
+        def step_fn(state, batch, graph):  # same loop shape as the train path
+            loss, _, _ = eval_fn(merged, batch, graph)
+            return state, {"loss": loss}
+    else:
+        step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
 
     # NOTE: hard host readback (float(...)) rather than block_until_ready — on the
     # tunneled axon backend block_until_ready returns at enqueue time, not
@@ -136,10 +149,14 @@ def main() -> None:
         windows_per_sec_per_chip / baseline if baseline else 1.0
     )
 
+    metric_name = (
+        "eval_windows_per_sec_per_chip" if args.eval
+        else "train_windows_per_sec_per_chip"
+    )
     print(
         json.dumps(
             {
-                "metric": "train_windows_per_sec_per_chip",
+                "metric": metric_name,
                 "value": round(windows_per_sec_per_chip, 3),
                 "unit": "windows/s/chip",
                 "vs_baseline": round(vs_baseline, 4),
