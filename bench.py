@@ -69,7 +69,8 @@ def main() -> None:
             cfg.train,
             batch_size=args.batch_size,
             accumulation_steps=args.accum,
-            remat_llm=not args.no_remat,
+            # respect the preset's remat policy; --no-remat only forces it off
+            remat_llm=cfg.train.remat_llm and not args.no_remat,
             bf16=not args.no_bf16,
         ),
     )
