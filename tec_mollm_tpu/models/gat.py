@@ -138,7 +138,13 @@ class GATv2Stencil(nn.Module):
         xr_t = to_lane(xr)
         shifts = tuple(int(s) for s in shifts)
 
-        if self.use_pallas and (deterministic or self.dropout == 0.0):
+        import jax
+
+        if (
+            self.use_pallas
+            and (deterministic or self.dropout == 0.0)
+            and jax.default_backend() == "tpu"
+        ):
             # fused Pallas kernel (ops/gat_stencil.py): negative_slope fixed at 0.2
             from tec_mollm_tpu.ops.gat_stencil import gat_stencil_attention
 
@@ -204,6 +210,7 @@ class SpatialEncoder(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     stencil_shifts: tuple[int, ...] | None = None
+    gat_pallas: bool = False  # fused VMEM kernel on the deterministic stencil path
 
     @nn.compact
     def __call__(
@@ -222,7 +229,7 @@ class SpatialEncoder(nn.Module):
             name="gat",
         )
         if self.stencil_shifts is not None:
-            gat = GATv2Stencil(**common)
+            gat = GATv2Stencil(use_pallas=self.gat_pallas, **common)
             out = gat(x, self.stencil_shifts, neighbors, deterministic=deterministic)
         else:
             gat = GATv2(**common)

@@ -64,6 +64,10 @@ class TECMoLLM(nn.Module):
     # 139 ms/fwd at B=16, interleaved A/B) — XLA fuses this branch well — so it
     # stays opt-in; it also compiles 8x faster, useful for one-shot evals.
     use_fused_mlp: bool = False
+    # fused stencil-GAT Pallas kernel on the deterministic path (ops/gat_stencil.py):
+    # measured ~2.5% faster eval fwd and 4x faster compile than the XLA stencil on
+    # v5e; training and CPU route to the XLA stencil automatically
+    gat_pallas: bool = True
 
     @nn.compact
     def __call__(
@@ -84,7 +88,11 @@ class TECMoLLM(nn.Module):
 
         # 2-4. graph attention + residual, applied per (batch, timestep) slice
         h = SpatialEncoder(
-            cfg, dtype=self.dtype, stencil_shifts=self.stencil_shifts, name="spatial"
+            cfg,
+            dtype=self.dtype,
+            stencil_shifts=self.stencil_shifts,
+            gat_pallas=self.gat_pallas,
+            name="spatial",
         )(h, neighbors, neighbor_mask, deterministic=deterministic)
 
         # 5. to per-node sequences: (B, L, N, C) -> (B*N, L, C)
