@@ -1,6 +1,7 @@
 """Benchmark: train windows/sec/chip at L_in=48 / L_out=12 (BASELINE.md target).
 
-Runs the FULL flagship training step (fwd+bwd+masked AdamW, bf16, grad-accum scan)
+Runs the FULL flagship training step (fwd+bwd+AdamW on the trainable partition,
+bf16, optional grad-accum scan)
 on synthetic data with the real 2911-node graph, on the available device(s), and
 prints ONE JSON line:
 
