@@ -20,7 +20,6 @@ import numpy as np
 from tec_mollm_tpu.config import Config
 from tec_mollm_tpu.data.dataset import BatchLoader, SlidingWindowDataset
 from tec_mollm_tpu.data.scaler import StandardScaler
-from tec_mollm_tpu.evaluation.metrics import evaluate_horizons
 from tec_mollm_tpu.graph.builder import GraphData
 from tec_mollm_tpu.models.baselines import WindowMeanBaseline
 from tec_mollm_tpu.training.checkpoint import find_latest_checkpoint
@@ -106,15 +105,51 @@ def evaluate_model_streaming(
 
 def host_targets(dataset: SlidingWindowDataset) -> np.ndarray:
     """All targets in the model's output layout (num_samples, L_out, N, 1), taken
-    straight from the dataset on the host (no device round trip)."""
+    straight from the dataset on the host (no device round trip).
+
+    WARNING: materializes the whole split — fine for tests/small splits; the wired
+    eval path streams instead (evaluate_baseline_streaming)."""
     idxs = np.arange(len(dataset))
     y = dataset.gather_batch(idxs)["y"]  # (S, N, L_out)
     return y.transpose(0, 2, 1)[..., None]
 
 
 def get_baseline_predictions(dataset: SlidingWindowDataset, L_out: int) -> np.ndarray:
-    """(num_samples, L_out, N, 1) — scaled window-mean of the TEC channel."""
+    """(num_samples, L_out, N, 1) — scaled window-mean of the TEC channel.
+
+    WARNING: materializes the whole split (see host_targets)."""
     return WindowMeanBaseline().predict_dataset(dataset, L_out)
+
+
+def evaluate_baseline_streaming(
+    dataset: SlidingWindowDataset,
+    L_out: int,
+    scaler: StandardScaler | None,
+    batch_size: int = 64,
+) -> dict[str, Any]:
+    """Window-mean HA baseline scored at O(batch) host memory.
+
+    Round-1 weak #2: the previous path gathered the ENTIRE stride-1 test split on
+    the host (~29 GB of x windows at the real 2024-25 scale). Here each batch's
+    window-mean prediction reduces to the same (L_out, 8) sufficient statistics as
+    the model path, so baseline and model evals share one memory profile and one
+    metric implementation (reference test.py:46-71 semantics)."""
+    import jax.numpy as jnp
+
+    from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
+
+    baseline = WindowMeanBaseline()
+    acc = StreamingHorizonMetrics(L_out, scaler)
+    loader = BatchLoader(
+        dataset, batch_size=batch_size, drop_remainder=False, prefetch=2
+    )
+    for batch in loader:
+        preds = baseline.predict_batch(batch["x"][..., 0], L_out)
+        trues = batch["y"].transpose(0, 2, 1)[..., None]
+        acc.update(
+            jnp.asarray(trues), jnp.asarray(preds), jnp.asarray(batch["valid"])
+        )
+    return acc.finalize()
 
 
 def improvement_report(model_metrics: dict, baseline_metrics: dict) -> dict[str, float]:
@@ -313,16 +348,16 @@ def run_evaluation(
     params = load_params_for_eval(cfg, ckpt_path, graph)
 
     logger.info("running model inference over %d test windows", len(test_ds))
-    # model: streaming on-device metrics (no prediction tensors reach the host);
-    # HA baseline: host-side windows + the exact metric suite
+    # both paths stream: each batch reduces to (L_out, 8) sufficient statistics,
+    # so stride-1 full-split eval needs O(batch) host memory
     model_metrics = evaluate_model_streaming(
         cfg, params, test_ds, graph, scaler, batch_size
     )
-    y_true = host_targets(test_ds)
-    y_pred_ha = get_baseline_predictions(test_ds, cfg.train.L_out)
     results = {
         "TEC-MoLLM": model_metrics,
-        "HistoricalAverage": evaluate_horizons(y_true, y_pred_ha, scaler),
+        "HistoricalAverage": evaluate_baseline_streaming(
+            test_ds, cfg.train.L_out, scaler
+        ),
     }
     improvements = improvement_report(results["TEC-MoLLM"], results["HistoricalAverage"])
     csv_path, txt_path = write_results(results, improvements, output_dir)

@@ -145,7 +145,8 @@ class GATv2Stencil(nn.Module):
             and (deterministic or self.dropout == 0.0)
             and jax.default_backend() == "tpu"
         ):
-            # fused Pallas kernel (ops/gat_stencil.py): negative_slope fixed at 0.2
+            # fused Pallas kernel (ops/gat_stencil.py); slope is a compile-time
+            # constant of the kernel, so non-default slopes match the XLA path
             from tec_mollm_tpu.ops.gat_stencil import gat_stencil_attention
 
             n = x.shape[-2]
@@ -153,7 +154,8 @@ class GATv2Stencil(nn.Module):
             xl_m = xl_t.reshape(-1, h * c, n)
             xr_m = xr_t.reshape(-1, h * c, n)
             out = gat_stencil_attention(
-                xl_m, xr_m, valid, att.reshape(h, c), shifts
+                xl_m, xr_m, valid, att.reshape(h, c), shifts,
+                negative_slope=self.negative_slope,
             )
             out = jnp.moveaxis(out.reshape(lead + (h, c, n)), -1, -3)
             out = out.reshape(lead + (n, h * c))

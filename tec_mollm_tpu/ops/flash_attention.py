@@ -47,9 +47,13 @@ def reference_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, bq: int):
+def _attn_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, bq: int, t_valid: int
+):
     """One (batch*head, q-block) program. Refs carry a leading block dim of 1:
-    q_ref (1, BQ, D); k_ref/v_ref (1, T, D)."""
+    q_ref (1, BQ, D); k_ref/v_ref (1, T, D). Keys at index >= t_valid are padding
+    and masked out unconditionally — with causal=False they would otherwise score
+    0 (not -inf) and absorb softmax mass (ADVICE r1)."""
     iq = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
@@ -58,11 +62,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool, bq: 
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (BQ, T)
+    t = k.shape[0]
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    key_mask = k_idx < t_valid
     if causal:
-        t = k.shape[0]
         q_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0) + iq * bq
-        k_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
-        scores = jnp.where(q_idx >= k_idx, scores, _NEG_INF)
+        key_mask = key_mask & (q_idx >= k_idx)
+    scores = jnp.where(key_mask, scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jax.lax.dot_general(
         probs.astype(v_ref.dtype), v_ref[0],
@@ -78,15 +84,15 @@ def _flash_forward(
     b, t, h, d = q.shape
     scale = 1.0 / (d**0.5)
     bq = min(256, t)
+    t_valid = t
     if t % bq:
-        # pad T to a block multiple; padded queries are discarded, padded keys are
-        # masked out by the causal mask only if causal — for safety mask via scores
+        # pad T to a block multiple; padded queries are discarded below, padded
+        # keys are masked inside the kernel via t_valid (causal or not)
         pad = bq - t % bq
-        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        out = _flash_forward(qp, kp, vp, causal, interpret)
-        return out[:, :t]
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        t = q.shape[1]
 
     # (B, T, H, D) -> (B*H, T, D)
     def to_bh(x):
@@ -95,7 +101,9 @@ def _flash_forward(
     qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
     grid = (b * h, t // bq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, causal=causal, bq=bq),
+        functools.partial(
+            _attn_kernel, scale=scale, causal=causal, bq=bq, t_valid=t_valid
+        ),
         out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -111,7 +119,7 @@ def _flash_forward(
                                    memory_space=pltpu.VMEM),
         ),
     )(qb, kb, vb)
-    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)
+    return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)[:, :t_valid]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -27,7 +27,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = float(jnp.finfo(jnp.float32).min)
 
 
-def _kernel(xl_ref, xr_ref, valid_ref, att_ref, out_ref, *, shifts, heads, c):
+def _kernel(
+    xl_ref, xr_ref, valid_ref, att_ref, out_ref, *, shifts, heads, c, slope
+):
     """xl_ref/xr_ref: (1, H*C, N); valid_ref: (O, N) float 0/1; att_ref: (H, C)."""
     n = xl_ref.shape[-1]
     xl = xl_ref[0].astype(jnp.float32).reshape(heads, c, n)
@@ -43,7 +45,7 @@ def _kernel(xl_ref, xr_ref, valid_ref, att_ref, out_ref, *, shifts, heads, c):
     scores = []
     for o in range(num_o):
         e = rolled(o) + xr
-        e = jnp.where(e >= 0, e, 0.2 * e)  # leaky_relu, slope 0.2
+        e = jnp.where(e >= 0, e, slope * e)  # leaky_relu
         s = jnp.sum(e * att[:, :, None], axis=1)  # (H, N)
         v = valid_ref[o, :][None, :] > 0.5  # (1, N)
         scores.append(jnp.where(v, s, _NEG))
@@ -73,6 +75,7 @@ def gat_stencil_attention(
     valid: jnp.ndarray,    # (O, N) bool or 0/1
     att: jnp.ndarray,      # (H, C)
     shifts: tuple[int, ...],
+    negative_slope: float = 0.2,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused forward attention. Returns (M, H*C, N) in xl's dtype."""
@@ -80,7 +83,9 @@ def gat_stencil_attention(
     heads, c = att.shape
     assert heads * c == hc
     valid = valid.astype(jnp.float32)
-    kernel = functools.partial(_kernel, shifts=tuple(shifts), heads=heads, c=c)
+    kernel = functools.partial(
+        _kernel, shifts=tuple(shifts), heads=heads, c=c, slope=float(negative_slope)
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m_dim, hc, n), xl.dtype),

