@@ -72,3 +72,80 @@ class TestCheckpointManager:
         (tmp_path / "checkpoints").mkdir()
         with pytest.raises(FileNotFoundError):
             find_latest_checkpoint(str(tmp_path / "checkpoints"))
+
+    def test_dangling_state_without_meta_is_no_checkpoint(self, tmp_path):
+        """A crash between the two finalize renames must not brick --resume
+        (ADVICE r1): state dir without meta.json == no checkpoint."""
+        mgr = CheckpointManager(str(tmp_path), "run4")
+        mgr.save_state(_state(1), {"epoch": 0, "best_val_loss": 1.0, "patience_counter": 0})
+        assert mgr.has_checkpoint("latest")
+        os.remove(os.path.join(mgr.dir, "latest.meta.json"))
+        assert not mgr.has_checkpoint("latest")
+
+
+class TestShardedCheckpoint:
+    def test_tp2_sharded_state_roundtrip(self, tiny_graph, tmp_path):
+        """A DP4xTP2-sharded train state round-trips through CheckpointManager
+        with values intact and the template's shardings applied (VERDICT r1 next
+        #7 — the collective-save contract, exercised single-process on the
+        8-device mesh)."""
+        import dataclasses
+
+        from tec_mollm_tpu.config import tiny_config
+        from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+        from tec_mollm_tpu.data.synthetic import synthetic_processed_split
+        from tec_mollm_tpu.models import TECMoLLM
+        from tec_mollm_tpu.parallel.mesh import make_mesh, replicated_sharding
+        from tec_mollm_tpu.parallel.partitioning import param_shardings
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, model_parallel=2)
+        )
+        mesh = make_mesh(model_parallel=2)
+        rep = replicated_sharding(mesh)
+        split = synthetic_processed_split(
+            num_windows=8, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=cfg.model.num_nodes, seed=0,
+        )
+        ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out)
+        graph = (jnp.asarray(tiny_graph.neighbors), jnp.asarray(tiny_graph.neighbor_mask))
+        batch = ds.gather_batch(np.arange(2))
+
+        def sharded_state(seed):
+            from tec_mollm_tpu.training.train_state import create_train_state
+
+            state, _, _ = create_train_state(
+                TECMoLLM(cfg.model), cfg, jax.random.key(seed), batch, graph
+            )
+            put = lambda tree: jax.device_put(
+                tree, param_shardings(tree, mesh, 2, cfg.train.model_axis)
+            )
+            return state.replace(
+                trainable=put(state.trainable),
+                frozen=put(state.frozen),
+                opt_state=jax.device_put(state.opt_state, rep),
+                step=jax.device_put(state.step, rep),
+                rng=jax.device_put(state.rng, rep),
+            )
+
+        saved = sharded_state(0)
+        ca = saved.frozen["llm"]["h_0"]["attn"]["c_attn"]["kernel"]
+        assert not ca.sharding.is_fully_replicated  # TP really applied
+
+        mgr = CheckpointManager(str(tmp_path), "tp_run")
+        mgr.save_state(saved, {"epoch": 0, "best_val_loss": 1.0, "patience_counter": 0})
+        restored, meta = mgr.restore_state(sharded_state(1), "latest")
+
+        np.testing.assert_array_equal(
+            np.asarray(restored.frozen["llm"]["h_0"]["attn"]["c_attn"]["kernel"]),
+            np.asarray(ca),
+        )
+        flat_s, _ = jax.tree_util.tree_flatten(saved.trainable)
+        flat_r, _ = jax.tree_util.tree_flatten(restored.trainable)
+        for a, b in zip(flat_s, flat_r):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        # restored leaves carry the template's (sharded) layout
+        rca = restored.frozen["llm"]["h_0"]["attn"]["c_attn"]["kernel"]
+        if hasattr(rca, "sharding"):
+            assert rca.sharding.is_equivalent_to(ca.sharding, ca.ndim)
