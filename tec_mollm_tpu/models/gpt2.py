@@ -33,6 +33,56 @@ from tec_mollm_tpu.config import ModelConfig
 from tec_mollm_tpu.models.lora import LoRADense
 
 
+# Below this sequence length, causal attention is computed with the (q, s) pairs
+# statically unrolled so every tensor keeps the model dim (768) in the minor axis.
+# The einsum form materializes (M, H, T, T) / (M, T, H, Dh) tensors whose 3-wide
+# minor dims tile onto 128-lane registers at ~5% occupancy — profiled at 56 ms of
+# the 181 ms flagship train step (31%) for ~0.6 GFLOP of actual work. The unrolled
+# form is pure elementwise math on (M, 768)-shaped tensors + tiny (M, H) reductions.
+UNROLL_MAX_SEQ = 4
+
+
+def _unrolled_causal_attention(
+    q: jnp.ndarray,  # (M, T, D) pre-split, head-major D = H*Dh
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    dropout: nn.Dropout | None,
+) -> jnp.ndarray:
+    """Causal softmax attention with T statically unrolled; returns (M, T, D).
+    Numerically identical to the einsum/softmax form (max-shifted softmax)."""
+    m_rows, t, d = q.shape
+    head_dim = d // heads
+    scale = 1.0 / (head_dim**0.5)
+
+    def hd(x2d):  # (M, D) -> (M, H, Dh); free bitcast, D contiguous
+        return x2d.reshape(m_rows, heads, head_dim)
+
+    ks = [hd(k[:, s]) for s in range(t)]
+    vs = [hd(v[:, s]) for s in range(t)]
+    outs = []
+    for tq in range(t):
+        qt = hd(q[:, tq])
+        # scores over s <= tq: (M, H) fp32, reduced over the head dim
+        scores = [
+            jnp.sum((qt * ks[s]).astype(jnp.float32), axis=-1) * scale
+            for s in range(tq + 1)
+        ]
+        mx = scores[0]
+        for s_val in scores[1:]:
+            mx = jnp.maximum(mx, s_val)
+        exps = [jnp.exp(s_val - mx) for s_val in scores]
+        denom = sum(exps)
+        alphas = [e / denom for e in exps]
+        if dropout is not None:
+            alphas = [dropout(a) for a in alphas]
+        out_t = alphas[0].astype(vs[0].dtype)[:, :, None] * vs[0]
+        for s in range(1, tq + 1):
+            out_t = out_t + alphas[s].astype(vs[s].dtype)[:, :, None] * vs[s]
+        outs.append(out_t.reshape(m_rows, d))
+    return jnp.stack(outs, axis=1)
+
+
 class GPT2Attention(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
@@ -53,15 +103,28 @@ class GPT2Attention(nn.Module):
             name="c_attn",
         )(x, deterministic=deterministic)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, cfg.llm_heads, head_dim)
-        k = k.reshape(b, t, cfg.llm_heads, head_dim)
-        v = v.reshape(b, t, cfg.llm_heads, head_dim)
 
-        if self.use_flash and t > 1:
+        if self.use_flash and t > 1 and t > UNROLL_MAX_SEQ:
             from tec_mollm_tpu.ops.flash_attention import flash_attention
 
-            out = flash_attention(q, k, v, causal=True)
+            out = flash_attention(
+                q.reshape(b, t, cfg.llm_heads, head_dim),
+                k.reshape(b, t, cfg.llm_heads, head_dim),
+                v.reshape(b, t, cfg.llm_heads, head_dim),
+                causal=True,
+            )
+            out = out.reshape(b, t, d)
+        elif t <= UNROLL_MAX_SEQ:
+            drop = (
+                nn.Dropout(rate=cfg.llm_dropout, deterministic=False)
+                if (cfg.llm_dropout > 0.0 and not deterministic)
+                else None
+            )
+            out = _unrolled_causal_attention(q, k, v, cfg.llm_heads, drop)
         else:
+            q = q.reshape(b, t, cfg.llm_heads, head_dim)
+            k = k.reshape(b, t, cfg.llm_heads, head_dim)
+            v = v.reshape(b, t, cfg.llm_heads, head_dim)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
                 head_dim**0.5, dtype=x.dtype
             )
@@ -69,9 +132,8 @@ class GPT2Attention(nn.Module):
             scores = jnp.where(causal, scores, jnp.finfo(jnp.float32).min)
             probs = nn.softmax(scores, axis=-1)
             probs = nn.Dropout(rate=cfg.llm_dropout, deterministic=deterministic)(probs)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
 
-        out = out.reshape(b, t, d)
         out = LoRADense(features=d, rank=0, dtype=self.dtype, name="c_proj")(out)
         return nn.Dropout(rate=cfg.llm_dropout, deterministic=deterministic)(out)
 

@@ -148,6 +148,29 @@ class TestFusedMLP:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+class TestUnrolledShortAttention:
+    @pytest.mark.parametrize("t", [1, 2, 3, 4])
+    def test_matches_einsum_reference(self, t):
+        """The lane-friendly unrolled short-T path (56 ms/step of the flagship
+        train step was (M,H,T,T)-layout waste) must equal the einsum softmax
+        attention exactly."""
+        from tec_mollm_tpu.models.gpt2 import _unrolled_causal_attention
+
+        rng = np.random.default_rng(3)
+        m, h, dh = 64, 4, 16
+        d = h * dh
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 0.7, size=(m, t, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        got = _unrolled_causal_attention(q, k, v, heads=h, dropout=None)
+        expect = reference_attention(
+            q.reshape(m, t, h, dh), k.reshape(m, t, h, dh), v.reshape(m, t, h, dh),
+            causal=True,
+        ).reshape(m, t, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-6)
+
+
 class TestFlashAttention:
     @pytest.mark.parametrize("causal", [True, False])
     def test_kernel_matches_reference(self, causal):
