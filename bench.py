@@ -39,6 +39,10 @@ def main() -> None:
     parser.add_argument("--eval", action="store_true",
                         help="measure deterministic eval forward instead of the "
                              "train step")
+    parser.add_argument("--fuse-conv", action="store_true",
+                        help="fuse the 3 multi-scale conv branches into one conv")
+    parser.add_argument("--lean-ln", action="store_true",
+                        help="single-pass LN without materialized fp32 activations")
     args = parser.parse_args()
 
     if args.cpu:
@@ -99,6 +103,8 @@ def main() -> None:
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         remat_llm=cfg.train.remat_llm,
         stencil_shifts=stencil_shifts,
+        fuse_conv=args.fuse_conv,
+        lean_ln=args.lean_ln,
     )
     state, tx, mask = create_train_state(
         model, cfg, jax.random.key(0, impl=cfg.train.prng_impl), batch_np, graph,

@@ -166,17 +166,38 @@ class _MLPParams(nn.Module):
         return w1, b1, w2, b2
 
 
+def _lean_layernorm(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics but no materialized fp32 activation:
+    single-pass variance (E[x^2] - mu^2; fine for LN-scale inputs in fp32) and
+    the affine applied in the compute dtype. Same {scale, bias} params as
+    nn.LayerNorm. The two-pass fp32 formulation measured ~18 ms/step across the
+    7 LayerNorms of the flagship step (trace r2)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    norm = ((xf - mean) * inv).astype(x.dtype)
+    return norm * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class GPT2Block(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     use_fused_mlp: bool = False
+    lean_ln: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.cfg
         d = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        if self.lean_ln:
+            s1, b1 = _LNParams(d, name="ln_1")()
+            h = _lean_layernorm(x, s1, b1)
+        else:
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + GPT2Attention(cfg, dtype=self.dtype, use_flash=self.use_flash, name="attn")(
             h, deterministic=deterministic
         )
@@ -194,11 +215,14 @@ class GPT2Block(nn.Module):
             out = fused_ln_mlp(rows, ln_s, ln_b, w1, b1, w2, b2)
             return out.reshape(x.shape).astype(x.dtype)
 
-        xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=-1, keepdims=True)
-        var = xf.var(axis=-1, keepdims=True)
-        h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
-        h = (h * ln_s + ln_b).astype(self.dtype)
+        if self.lean_ln:
+            h = _lean_layernorm(x, ln_s, ln_b)
+        else:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=-1, keepdims=True)
+            var = xf.var(axis=-1, keepdims=True)
+            h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+            h = (h * ln_s + ln_b).astype(self.dtype)
         h = h @ w1.astype(self.dtype) + b1.astype(self.dtype)
         h = nn.gelu(h, approximate=True)  # HF gelu_new
         h = h @ w2.astype(self.dtype) + b2.astype(self.dtype)
@@ -226,6 +250,7 @@ class GPT2Backbone(nn.Module):
     remat: bool = False
     use_flash: bool = False
     use_fused_mlp: bool = False
+    lean_ln: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -248,6 +273,10 @@ class GPT2Backbone(nn.Module):
                 dtype=self.dtype,
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
+                lean_ln=self.lean_ln,
                 name=f"h_{i}",
             )(x, deterministic)
+        if self.lean_ln:
+            sf, bf = _LNParams(cfg.d_llm, name="ln_f")()
+            return _lean_layernorm(x, sf, bf)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_f")(x)

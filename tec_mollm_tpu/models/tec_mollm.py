@@ -68,6 +68,10 @@ class TECMoLLM(nn.Module):
     # measured ~2.5% faster eval fwd and 4x faster compile than the XLA stencil on
     # v5e; training and CPU route to the XLA stencil automatically
     gat_pallas: bool = True
+    # single-pass fp32-stat LayerNorm without materialized fp32 activations; the
+    # two-pass form measured ~18 ms/step across 7 LNs (trace r2). Off by default
+    # pending the TPU A/B.
+    lean_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -111,6 +115,7 @@ class TECMoLLM(nn.Module):
             remat=self.remat_llm,
             use_flash=self.use_flash,
             use_fused_mlp=self.use_fused_mlp,
+            lean_ln=self.lean_ln,
             name="llm",
         )(h, deterministic=deterministic)
         h = nn.Dropout(rate=cfg.post_llm_dropout, deterministic=deterministic)(h)

@@ -154,3 +154,19 @@ class TestGPT2Golden:
             out["llm"]["h_0"]["attn"]["c_attn"]["lora_A"],
             init["h_0"]["attn"]["c_attn"]["lora_A"],
         )
+
+
+class TestLeanLayerNorm:
+    def test_lean_ln_matches_standard(self, small_cfg):
+        """lean_ln (single-pass variance, bf16 affine) must match the standard
+        path at fp32 on identical params (checkpoint-compatible names)."""
+        rng = np.random.default_rng(5)
+        embeds = rng.normal(0, 1, size=(4, 3, small_cfg.d_llm)).astype(np.float32)
+        base = GPT2Backbone(small_cfg)
+        params = base.init(jax.random.key(0), jnp.asarray(embeds))["params"]
+        lean = GPT2Backbone(small_cfg, lean_ln=True)
+        out_base = base.apply({"params": params}, jnp.asarray(embeds), deterministic=True)
+        out_lean = lean.apply({"params": params}, jnp.asarray(embeds), deterministic=True)
+        np.testing.assert_allclose(
+            np.asarray(out_lean), np.asarray(out_base), atol=2e-5
+        )
