@@ -1,10 +1,21 @@
 """Fused causal attention: Pallas TPU kernel + XLA reference implementation.
 
-The default TEC-MoLLM config sees only 3 tokens after patching (21 in the 336
-config — SURVEY.md §5 "Long-context"), where a fused kernel cannot pay for itself;
-there the XLA einsum path is used. The Pallas kernel kicks in for the long-sequence
-variants (autoregressive rollout eval, scaled-backbone configs) at T >=
-`FLASH_MIN_SEQ`.
+STATUS: test/reference infrastructure, not a shipped fast path. No TEC-MoLLM
+config can reach it: patching compresses the sequence to 3 tokens (21 in the
+336 config — SURVEY.md §5 "Long-context"), and the measured v5e A/B at the
+first reachable long-sequence sizes shows the kernel is NEUTRAL vs XLA's own
+attention (scripts/bench_flash_attention.py, B=8 H=12 D=64, interleaved
+min-of-5, round 2):
+
+    T=128  fwd 0.88x   fwd+bwd 1.22x
+    T=256  fwd 1.03x   fwd+bwd 0.83x
+    T=512  fwd 0.77x   fwd+bwd 0.63x
+    T=1024 fwd 1.05x   fwd+bwd 1.02x   (speedup = xla_ms / pallas_ms)
+
+XLA fuses this attention well at these shapes, so `use_flash` stays opt-in and
+OFF everywhere; the kernel remains as a correctness-tested Pallas pattern for a
+future genuinely-long-context variant. Short sequences (T <= 4) use the
+unrolled lane-friendly path in models/gpt2.py instead (measured +49% step).
 
 Kernel design (one TPU core, VMEM-resident K/V):
   * grid = (B*H, num_q_blocks); each program handles one (batch*head, q-block);
