@@ -41,8 +41,8 @@ def main() -> None:
                              "train step")
     parser.add_argument("--fuse-conv", action="store_true",
                         help="fuse the 3 multi-scale conv branches into one conv")
-    parser.add_argument("--lean-ln", action="store_true",
-                        help="single-pass LN without materialized fp32 activations")
+    parser.add_argument("--two-pass-ln", action="store_true",
+                        help="disable lean_ln (revert to two-pass fp32 LayerNorm)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -104,7 +104,7 @@ def main() -> None:
         remat_llm=cfg.train.remat_llm,
         stencil_shifts=stencil_shifts,
         fuse_conv=args.fuse_conv,
-        lean_ln=args.lean_ln,
+        lean_ln=not args.two_pass_ln,
     )
     state, tx, mask = create_train_state(
         model, cfg, jax.random.key(0, impl=cfg.train.prng_impl), batch_np, graph,

@@ -2,7 +2,7 @@
 single-run deltas under ~25% are tunnel noise; interleave chunks so ambient load
 hits every variant equally).
 
-    python scripts/ab_variants.py --variants base lean_ln fuse_conv
+    python scripts/ab_variants.py --variants base two_pass_ln fuse_conv
 """
 
 from __future__ import annotations
@@ -18,17 +18,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "base": {},
-    "lean_ln": {"lean_ln": True},
+    "base": {},  # model defaults (lean_ln on since the settled +1.1% A/B)
+    "two_pass_ln": {"lean_ln": False},
+    "lean_gn": {"lean_gn": True},
     "fuse_conv": {"fuse_conv": True},
-    "lean_ln+fuse_conv": {"lean_ln": True, "fuse_conv": True},
     "fused_mlp": {"use_fused_mlp": True},
 }
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--variants", nargs="+", default=["base", "lean_ln"],
+    p.add_argument("--variants", nargs="+", default=["base", "two_pass_ln"],
                    choices=sorted(VARIANTS))
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--steps", type=int, default=10, help="steps per chunk")
@@ -97,7 +97,7 @@ def main() -> None:
                 loss, _, _ = fn(merged, batch, graph)
                 return loss
         else:
-            step_fn = jax.jit(make_train_step(model, cfg, tx))
+            step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
             holder = {"s": state}
 
             def run(step_fn=step_fn, holder=holder):

@@ -45,21 +45,26 @@ def summarize_xplane(trace_dir: str, top_k: int = 40) -> None:
             if not is_device:
                 continue
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-            totals: dict[str, int] = collections.defaultdict(int)
-            count: dict[str, int] = collections.defaultdict(int)
             for line in plane.lines:
+                totals: dict[str, int] = collections.defaultdict(int)
+                count: dict[str, int] = collections.defaultdict(int)
                 for ev in line.events:
                     name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
                     totals[name] += ev.duration_ps
                     count[name] += 1
-            grand = sum(totals.values())
-            if grand == 0:
-                continue
-            print(f"\n== plane: {plane.name} (total {grand/1e9:.3f} ms summed) ==")
-            for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]:
+                grand = sum(totals.values())
+                if grand == 0:
+                    continue
                 print(
-                    f"{ps/1e9:9.3f} ms  {100.0*ps/grand:5.1f}%  x{count[name]:<5d} {name[:110]}"
+                    f"\n== plane: {plane.name} | line: {line.name or line.id} "
+                    f"(total {grand/1e9:.3f} ms summed) =="
                 )
+                # async DMA lines overlap compute; only the main op line's sum
+                # approximates wall time — keep lines separate for that reason
+                for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]:
+                    print(
+                        f"{ps/1e9:9.3f} ms  {100.0*ps/grand:5.1f}%  x{count[name]:<5d} {name[:110]}"
+                    )
 
 
 def main() -> None:
@@ -133,7 +138,7 @@ def main() -> None:
             loss, _, _ = fn(merged, batch, graph)
             return loss
     else:
-        step_fn = jax.jit(make_train_step(model, cfg, tx))
+        step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
         holder = {"state": state}
 
         def run_once():

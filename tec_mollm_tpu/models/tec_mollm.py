@@ -59,6 +59,10 @@ class TECMoLLM(nn.Module):
     # branch-fused temporal convs measured neutral-to-slightly-slower on v5e
     # (189 vs 185 ms/step interleaved A/B); XLA already fuses the three branches
     fuse_conv: bool = False
+    # lean conv-block epilogue: GroupNorm stats on the full sequence but
+    # normalize+GELU only at the positions the strided 1x1 conv reads, and the
+    # 3-branch concat replaced by summed partial matmuls (see temporal._lean)
+    lean_gn: bool = False
     # fused ln_2+MLP+residual Pallas kernel for deterministic (eval) calls on TPU
     # (ops/fused_mlp.py). Measured SLOWER than XLA's own fusion on v5e (163 vs
     # 139 ms/fwd at B=16, interleaved A/B) — XLA fuses this branch well — so it
@@ -69,9 +73,10 @@ class TECMoLLM(nn.Module):
     # v5e; training and CPU route to the XLA stencil automatically
     gat_pallas: bool = True
     # single-pass fp32-stat LayerNorm without materialized fp32 activations; the
-    # two-pass form measured ~18 ms/step across 7 LNs (trace r2). Off by default
-    # pending the TPU A/B.
-    lean_ln: bool = False
+    # two-pass form measured ~18 ms/step across 7 LNs (trace r2). Interleaved TPU
+    # A/B: 120.2 vs 121.6 ms/step (+1.1%), parity-tested vs nn.LayerNorm
+    # (tests/test_gpt2_golden.py) — on by default.
+    lean_ln: bool = True
 
     @nn.compact
     def __call__(
@@ -105,7 +110,11 @@ class TECMoLLM(nn.Module):
 
         # 6. temporal encoder: (B*N, L, 22) -> (B*N, P, d_llm)
         h = TemporalEncoder(
-            cfg, dtype=self.dtype, fuse_branches=self.fuse_conv, name="temporal"
+            cfg,
+            dtype=self.dtype,
+            fuse_branches=self.fuse_conv,
+            lean_gn=self.lean_gn,
+            name="temporal",
         )(h)
 
         # 7. LLM backbone (+ dropout 0.1, reference tec_mollm.py:115)

@@ -203,6 +203,38 @@ class TestTemporal:
             atol=1e-5,
         )
 
+    def test_lean_gn_equals_unfused(self):
+        """lean_gn (stats on full length, normalize+GELU only at strided positions,
+        summed partial matmuls instead of concat) must match the plain path on the
+        SAME parameters — checkpoint layouts are shared."""
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(4, 16, 6)).astype(np.float32))
+        plain = MultiScaleConvBlock(out_channels=8, stride=2, fuse_branches=False)
+        params = plain.init(jax.random.key(0), x)
+        lean = MultiScaleConvBlock(out_channels=8, stride=2, lean_gn=True)
+        assert jax.tree.structure(lean.init(jax.random.key(1), x)) == (
+            jax.tree.structure(params)
+        )
+        np.testing.assert_allclose(
+            np.asarray(lean.apply(params, x)),
+            np.asarray(plain.apply(params, x)),
+            atol=1e-5,
+        )
+
+    def test_lean_gn_odd_stride_and_length(self):
+        """Strided slice must match nn.Conv VALID semantics when stride doesn't
+        divide the length (output length ceil(L / stride))."""
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(2, 15, 5)).astype(np.float32))
+        plain = MultiScaleConvBlock(out_channels=6, stride=4, fuse_branches=False)
+        params = plain.init(jax.random.key(0), x)
+        lean = MultiScaleConvBlock(out_channels=6, stride=4, lean_gn=True)
+        np.testing.assert_allclose(
+            np.asarray(lean.apply(params, x)),
+            np.asarray(plain.apply(params, x)),
+            atol=1e-5,
+        )
+
     def test_temporal_encoder_pipeline(self, cfg):
         mod = TemporalEncoder(cfg)
         x = jnp.ones((5, cfg.temporal_seq_len, cfg.spatial_channels))
