@@ -327,6 +327,77 @@ def run_rollout_eval(
     return result
 
 
+def run_prediction(
+    cfg: Config,
+    data_dir: str,
+    checkpoint: str,
+    split: str = "test",
+    indices: list[int] | None = None,
+    output_dir: str = "results",
+    workdir: str = ".",
+) -> dict[str, Any]:
+    """Pure forecasting entry (beyond the reference, which only scores): run the
+    model on selected windows of a processed split and write PHYSICAL-unit TEC
+    forecasts (TECU, reference clip semantics: metrics.py contract, [0, 200]).
+
+    indices are window starts into the stride-1 split; default is the most
+    recent window. Writes forecast.npz {indices, forecast, truth} with
+    (W, L_out, N) arrays and returns the same as a dict."""
+    import jax
+    import jax.numpy as jnp
+
+    from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.models.tec_mollm import graph_inputs
+    from tec_mollm_tpu.training.train_state import make_eval_step
+
+    cfg = cfg.resolved()
+    ds = SlidingWindowDataset.from_dir(
+        data_dir, split, cfg.train.L_in, cfg.train.L_out, stride=1
+    )
+    if len(ds) == 0:
+        raise ValueError(f"split '{split}' has no complete windows")
+    graph = GraphData.load(os.path.join(data_dir, "graph.npz"))
+    tscaler_path = os.path.join(data_dir, "target_scaler.npz")
+    tscaler = StandardScaler.load(tscaler_path) if os.path.exists(tscaler_path) else None
+
+    if indices is None:
+        indices = [len(ds) - 1]
+    idx = np.asarray(indices, dtype=np.int64)
+    if (idx < 0).any() or (idx >= len(ds)).any():
+        raise ValueError(f"window indices {indices} out of range [0, {len(ds)})")
+
+    params = load_params_for_eval(cfg, resolve_checkpoint(checkpoint, workdir), graph)
+    stencil_shifts, graph_dev = graph_inputs(graph)
+    model = TECMoLLM(
+        cfg.model,
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+        stencil_shifts=stencil_shifts,
+    )
+    eval_step = jax.jit(make_eval_step(model, cfg))
+    batch = jax.tree.map(jnp.asarray, ds.gather_batch(idx))
+    _, preds, trues = eval_step(params, batch, graph_dev)
+
+    def to_physical(a: jnp.ndarray) -> np.ndarray:
+        a = np.asarray(a, dtype=np.float64)[..., 0]  # (W, L_out, N)
+        if tscaler is not None:
+            a = a * tscaler.scale_[0] + tscaler.mean_[0]
+        return np.nan_to_num(a)
+
+    forecast = np.clip(to_physical(preds), 0.0, 200.0)
+    truth = to_physical(trues)
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, "forecast.npz")
+    np.savez(out_path, indices=idx, forecast=forecast, truth=truth)
+    mae = float(np.abs(forecast - truth).mean())
+    logger.info(
+        "forecast %d window(s) of split '%s' -> %s (MAE vs observed: %.4f TECU)",
+        len(idx), split, out_path, mae,
+    )
+    return {"indices": idx.tolist(), "forecast": forecast, "truth": truth,
+            "path": out_path, "mae": mae}
+
+
 def run_evaluation(
     cfg: Config,
     data_dir: str,

@@ -61,7 +61,10 @@ class TECMoLLM(nn.Module):
     fuse_conv: bool = False
     # lean conv-block epilogue: GroupNorm stats on the full sequence but
     # normalize+GELU only at the positions the strided 1x1 conv reads, and the
-    # 3-branch concat replaced by summed partial matmuls (see temporal._lean)
+    # 3-branch concat replaced by summed partial matmuls (see temporal._lean).
+    # Measured SLOWER on v5e (124.3 vs 120.5 ms/step interleaved): three small
+    # per-branch matmuls lose to one fat concat matmul, and the backward touches
+    # the full length through the GN stats regardless — stays off.
     lean_gn: bool = False
     # fused ln_2+MLP+residual Pallas kernel for deterministic (eval) calls on TPU
     # (ops/fused_mlp.py). Measured SLOWER than XLA's own fusion on v5e (163 vs

@@ -104,6 +104,28 @@ class TestCLIPipeline:
         csv = (wd / "results" / "evaluation_results.csv").read_text().splitlines()
         assert len(csv) == 3  # header + 2 models
 
+    def test_predict(self, workdir):
+        """Forecast CLI: checkpoint -> physical-unit forecast npz."""
+        wd, cfg = workdir
+        run_cli(
+            [
+                os.path.join(REPO, "predict.py"),
+                "--config", "config.json", "--data-dir", "proc",
+                "--workdir", ".", "--checkpoint", "latest",
+                "--indices", "0", "2",
+                "--output-dir", "results", "--cpu",
+            ],
+            cwd=str(wd),
+        )
+        import numpy as np
+
+        with np.load(wd / "results" / "forecast.npz") as d:
+            n = cfg.model.grid_h * cfg.model.grid_w
+            assert d["forecast"].shape == (2, cfg.train.L_out, n)
+            assert np.isfinite(d["forecast"]).all()
+            assert d["forecast"].min() >= 0.0 and d["forecast"].max() <= 200.0
+            assert list(d["indices"]) == [0, 2]
+
     def test_preprocess_from_hdf5_files(self, tmp_path):
         """The real-data path: CRIM-layout HDF5 files -> processed npz splits."""
         from tec_mollm_tpu.data.synthetic import write_synthetic_hdf5

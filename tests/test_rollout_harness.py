@@ -78,3 +78,37 @@ class TestRolloutHarness:
                 cfg, data_dir, checkpoint="latest", rollout_steps=10_000,
                 output_dir=str(wd / "r3"), workdir=str(wd),
             )
+
+
+class TestPredict:
+    def test_forecast_default_window(self, trained_workdir):
+        """Default: most recent test window -> physical-unit (clipped) forecast."""
+        from tec_mollm_tpu.evaluation.harness import run_prediction
+
+        wd, cfg, data_dir = trained_workdir
+        out = run_prediction(
+            cfg, data_dir, checkpoint="latest",
+            output_dir=str(wd / "fc"), workdir=str(wd),
+        )
+        n = cfg.model.grid_h * cfg.model.grid_w
+        assert out["forecast"].shape == (1, cfg.train.L_out, n)
+        assert np.isfinite(out["forecast"]).all()
+        assert (out["forecast"] >= 0.0).all() and (out["forecast"] <= 200.0).all()
+        with np.load(out["path"]) as d:
+            np.testing.assert_array_equal(d["forecast"], out["forecast"])
+            assert d["truth"].shape == out["forecast"].shape
+
+    def test_forecast_explicit_indices_and_bounds(self, trained_workdir):
+        from tec_mollm_tpu.evaluation.harness import run_prediction
+
+        wd, cfg, data_dir = trained_workdir
+        out = run_prediction(
+            cfg, data_dir, checkpoint="latest", split="val", indices=[0, 1],
+            output_dir=str(wd / "fc2"), workdir=str(wd),
+        )
+        assert out["forecast"].shape[0] == 2 and out["indices"] == [0, 1]
+        with pytest.raises(ValueError, match="out of range"):
+            run_prediction(
+                cfg, data_dir, checkpoint="latest", indices=[10_000_000],
+                output_dir=str(wd / "fc3"), workdir=str(wd),
+            )
