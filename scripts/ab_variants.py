@@ -21,6 +21,7 @@ VARIANTS = {
     "base": {},  # model defaults (lean_ln on since the settled +1.1% A/B)
     "two_pass_ln": {"lean_ln": False},
     "lean_gn": {"lean_gn": True},
+    "fused_attn": {"fused_attn": True},
     "fuse_conv": {"fuse_conv": True},
     "fused_mlp": {"use_fused_mlp": True},
 }

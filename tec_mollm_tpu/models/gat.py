@@ -142,7 +142,9 @@ class GATv2Stencil(nn.Module):
 
         if (
             self.use_pallas
-            and (deterministic or self.dropout == 0.0)
+            and deterministic  # eval only: the kernel has no VJP — a training
+            # step with gat_dropout=0 would otherwise select it and fail to
+            # differentiate (roll has no autodiff rule inside pallas_call)
             and jax.default_backend() == "tpu"
         ):
             # fused Pallas kernel (ops/gat_stencil.py); slope is a compile-time

@@ -87,6 +87,7 @@ class GPT2Attention(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -104,7 +105,28 @@ class GPT2Attention(nn.Module):
         )(x, deterministic=deterministic)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if self.use_flash and t > 1 and t > UNROLL_MAX_SEQ:
+        if (
+            self.fused_attn
+            and t <= UNROLL_MAX_SEQ
+            and jax.default_backend() == "tpu"
+        ):
+            # one-pass Pallas kernel (ops/short_attention.py): q/k/v read from
+            # HBM once, custom-VJP backward. With dropout active it draws its
+            # own seeded PRNG stream (not flax's) — same distribution,
+            # different bits than the XLA path.
+            from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+            if cfg.llm_dropout > 0.0 and not deterministic:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2**31 - 1
+                ).astype(jnp.int32)
+                out = fused_short_causal_attention(
+                    q, k, v, cfg.llm_heads,
+                    dropout_rate=cfg.llm_dropout, dropout_seed=seed,
+                )
+            else:
+                out = fused_short_causal_attention(q, k, v, cfg.llm_heads)
+        elif self.use_flash and t > 1 and t > UNROLL_MAX_SEQ:
             from tec_mollm_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(
@@ -188,6 +210,7 @@ class GPT2Block(nn.Module):
     use_flash: bool = False
     use_fused_mlp: bool = False
     lean_ln: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -198,9 +221,10 @@ class GPT2Block(nn.Module):
             h = _lean_layernorm(x, s1, b1)
         else:
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
-        x = x + GPT2Attention(cfg, dtype=self.dtype, use_flash=self.use_flash, name="attn")(
-            h, deterministic=deterministic
-        )
+        x = x + GPT2Attention(
+            cfg, dtype=self.dtype, use_flash=self.use_flash,
+            fused_attn=self.fused_attn, name="attn",
+        )(h, deterministic=deterministic)
 
         # MLP residual branch: ln_2 -> c_fc -> gelu_new -> c_proj (-> dropout).
         # Parameters are declared via holders so the fused Pallas path
@@ -251,6 +275,7 @@ class GPT2Backbone(nn.Module):
     use_flash: bool = False
     use_fused_mlp: bool = False
     lean_ln: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -274,6 +299,7 @@ class GPT2Backbone(nn.Module):
                 use_flash=self.use_flash,
                 use_fused_mlp=self.use_fused_mlp,
                 lean_ln=self.lean_ln,
+                fused_attn=self.fused_attn,
                 name=f"h_{i}",
             )(x, deterministic)
         if self.lean_ln:

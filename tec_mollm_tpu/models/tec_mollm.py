@@ -55,6 +55,13 @@ class TECMoLLM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_llm: bool = False
     use_flash: bool = False
+    # one-pass Pallas short-T attention (ops/short_attention.py): q/k/v read from
+    # HBM once per layer, custom-VJP backward; TPU-only, short-T-only guard in
+    # GPT2Attention. Measured SLOWER than the XLA unrolled path on v5e (train
+    # 143.5 vs 120.5 ms, eval 105.6 vs 96.8 ms interleaved) — XLA's pipelined
+    # fusions win at these shapes — so it stays opt-in. With dropout it uses its
+    # own seeded PRNG stream.
+    fused_attn: bool = False
     stencil_shifts: tuple[int, ...] | None = None
     # branch-fused temporal convs measured neutral-to-slightly-slower on v5e
     # (189 vs 185 ms/step interleaved A/B); XLA already fuses the three branches
@@ -128,6 +135,7 @@ class TECMoLLM(nn.Module):
             use_flash=self.use_flash,
             use_fused_mlp=self.use_fused_mlp,
             lean_ln=self.lean_ln,
+            fused_attn=self.fused_attn,
             name="llm",
         )(h, deterministic=deterministic)
         h = nn.Dropout(rate=cfg.post_llm_dropout, deterministic=deterministic)(h)

@@ -222,3 +222,95 @@ class TestFlashAttention:
             np.asarray(out1[:, :-1]), np.asarray(out2[:, :-1]), atol=1e-5
         )
         assert not np.allclose(out1[:, -1], out2[:, -1])
+
+
+class TestFusedShortAttention:
+    """One-pass Pallas short-T causal attention (ops/short_attention.py)."""
+
+    @pytest.mark.parametrize("t", [1, 2, 3, 4])
+    def test_matches_unrolled_xla(self, t):
+        from tec_mollm_tpu.models.gpt2 import _unrolled_causal_attention
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        rng = np.random.default_rng(11)
+        m, h, dh = 70, 4, 16  # m deliberately not a sublane multiple
+        d = h * dh
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 0.7, size=(m, t, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        with jax.disable_jit():
+            got = fused_short_causal_attention(q, k, v, heads=h, interpret=True)
+        expect = _unrolled_causal_attention(q, k, v, heads=h, dropout=None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-6)
+
+    def test_gradients_match_reference(self):
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        rng = np.random.default_rng(12)
+        m, t, h, dh = 48, 3, 4, 16
+        d = h * dh
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 0.7, size=(m, t, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        cot = jnp.asarray(rng.normal(size=(m, t, d)).astype(np.float32))
+
+        def loss(q, k, v):
+            with jax.disable_jit():
+                out = fused_short_causal_attention(q, k, v, heads=h, interpret=True)
+            return jnp.sum(out * cot)
+
+        def loss_ref(q, k, v):
+            out = reference_attention(
+                q.reshape(m, t, h, dh), k.reshape(m, t, h, dh),
+                v.reshape(m, t, h, dh), causal=True,
+            ).reshape(m, t, d)
+            return jnp.sum(out * cot)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def test_causality(self):
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        rng = np.random.default_rng(13)
+        m, t, h, dh = 32, 3, 2, 16
+        d = h * dh
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(m, t, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        with jax.disable_jit():
+            out1 = fused_short_causal_attention(q, k, v, heads=h, interpret=True)
+            v2 = v.at[:, -1].set(v[:, -1] + 50)
+            out2 = fused_short_causal_attention(q, k, v2, heads=h, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out1[:, :-1]), np.asarray(out2[:, :-1]), atol=1e-6
+        )
+        assert not np.allclose(out1[:, -1], out2[:, -1])
+
+    def test_bf16_large_block(self):
+        """Multi-block grid path (m > _BLOCK_M) in bf16."""
+        from tec_mollm_tpu.models.gpt2 import _unrolled_causal_attention
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        rng = np.random.default_rng(14)
+        m, t, h, dh = 1100, 3, 2, 32
+        d = h * dh
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 0.5, size=(m, t, d)).astype(np.float32)).astype(
+                jnp.bfloat16
+            )
+            for _ in range(3)
+        )
+        with jax.disable_jit():
+            got = fused_short_causal_attention(q, k, v, heads=h, interpret=True)
+        expect = _unrolled_causal_attention(q, k, v, heads=h, dropout=None)
+        np.testing.assert_allclose(
+            np.asarray(got, dtype=np.float32),
+            np.asarray(expect, dtype=np.float32),
+            atol=2e-2,
+        )
