@@ -63,12 +63,11 @@ def run_preprocess(
 
     if synthetic_steps is not None:
         gh, gw = synthetic_grid
-        raw = synthetic_raw_data(
-            num_steps=synthetic_steps, grid_h=gh, grid_w=gw,
-            start="2020-01-01T00:00:00", seed=seed,
-        )
         # spread synthetic time range so all three splits are populated:
-        # 60% train (<=2021), 25% val (2022-23), 15% test (>=2024)
+        # 60% train (<=2021), 25% val (2022-23), 15% test (>=2024). The TEC
+        # pattern is generated FROM these pieced timestamps (synthetic.py) so
+        # diurnal/seasonal phase stays consistent with the time-feature labels
+        # on every split.
         t = synthetic_steps
         times = np.concatenate([
             np.datetime64("2021-01-01T00:00:00", "s")
@@ -78,7 +77,10 @@ def run_preprocess(
             np.datetime64("2024-01-01T00:00:00", "s")
             + np.arange(t - int(t * 0.6) - int(t * 0.25)) * np.timedelta64(7200, "s"),
         ])
-        raw["time"] = times
+        raw = synthetic_raw_data(
+            num_steps=synthetic_steps, grid_h=gh, grid_w=gw, seed=seed,
+            times=times,
+        )
         splits = split_by_time(
             raw, data_cfg.train_end, data_cfg.val_start, data_cfg.val_end,
             data_cfg.test_start,

@@ -28,16 +28,31 @@ def synthetic_raw_data(
     grid_w: int = 71,
     start: str = "2014-01-01T00:00:00",
     seed: int = 0,
+    times: np.ndarray | None = None,
 ) -> dict[str, np.ndarray]:
     """In-memory equivalent of one aggregated CRIM dataset.
 
     TEC follows a physically plausible pattern: a latitude-dependent mean plus diurnal
     and seasonal cycles plus noise, clipped to [0, 200] TECU. Space-weather indices are
     smooth random walks. 2-hour cadence (12 steps/day) like the real data.
+
+    `times` (datetime64[s], len num_steps) overrides the contiguous range from
+    `start`; the diurnal/seasonal pattern is computed FROM the given timestamps,
+    so callers that piece together disjoint calendar ranges (preprocess
+    --synthetic spreads data over the train/val/test year windows) get TEC whose
+    phase is consistent with its time-feature labels. Without this, val/test
+    carried day-of-year labels from a different season than their data — the
+    time embeddings then actively mislead any trained model on those splits.
     """
     rng = np.random.default_rng(seed)
     lat, lon = grid_coordinates(grid_h, grid_w)
-    times = np.datetime64(start, "s") + np.arange(num_steps) * np.timedelta64(7200, "s")
+    if times is None:
+        times = np.datetime64(start, "s") + np.arange(num_steps) * np.timedelta64(
+            7200, "s"
+        )
+    else:
+        times = np.asarray(times, dtype="datetime64[s]")
+        assert times.shape == (num_steps,), (times.shape, num_steps)
 
     hours = times.astype("datetime64[h]").astype(np.int64) % 24
     days = times.astype("datetime64[D]").astype(np.int64)

@@ -31,11 +31,11 @@ def setup(tiny_graph):
     return cfg, ds, graph_np
 
 
-def _run_steps(cfg, ds, graph_np, mesh, model_parallel, n_steps=2):
+def _run_steps(cfg, ds, graph_np, mesh, model_parallel, n_steps=2, **model_kwargs):
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, model_parallel=model_parallel)
     )
-    model = TECMoLLM(cfg.model)
+    model = TECMoLLM(cfg.model, **model_kwargs)
     rep = replicated_sharding(mesh)
     graph = tuple(jax.device_put(jnp.asarray(g), rep) for g in graph_np)
     batch_np = ds.gather_batch(
@@ -126,6 +126,42 @@ class TestTensorParallel:
         params = {"llm": {"h_0": {"attn": {"c_attn": {"kernel": jnp.zeros((4, 9))}}}}}
         specs = param_pspecs(params, model_parallel=2)
         assert specs["llm"]["h_0"]["attn"]["c_attn"]["kernel"] == P()
+
+
+class TestScaleUpStructure:
+    @pytest.mark.slow
+    def test_dp4_tp2_scale_up_shaped_step(self):
+        """The scale-up preset REQUIRES multiple chips (B>=4 OOMs a single v5e,
+        BASELINE.md), so its structural path must work sharded: a long-L_in
+        config producing T=5 > UNROLL_MAX_SEQ tokens (the einsum attention
+        branch, not the unrolled one) with remat_llm on, stepped under dp4xtp2
+        and matching the single-device loss."""
+        from tec_mollm_tpu.models.gpt2 import UNROLL_MAX_SEQ
+
+        cfg = tiny_config(L_in=80, L_out=4, llm_layers=1)
+        assert cfg.model.num_patches > UNROLL_MAX_SEQ
+        split = synthetic_processed_split(
+            num_windows=20, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=cfg.model.num_nodes, seed=5,
+        )
+        ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=1)
+        from tec_mollm_tpu.data.synthetic import grid_coordinates
+        from tec_mollm_tpu.graph import build_graph
+
+        lat, lon = grid_coordinates(cfg.model.grid_h, cfg.model.grid_w)
+        g = build_graph(lat, lon)
+        graph_np = (g.neighbors, g.neighbor_mask)
+
+        mesh = make_mesh(data_parallel=4, model_parallel=2)
+        mesh1 = make_mesh(data_parallel=1, model_parallel=1, devices=jax.devices()[:1])
+        losses_tp, state = _run_steps(
+            cfg, ds, graph_np, mesh, 2, n_steps=1, remat_llm=True
+        )
+        losses_1, _ = _run_steps(cfg, ds, graph_np, mesh1, 1, n_steps=1, remat_llm=True)
+        np.testing.assert_allclose(losses_tp, losses_1, rtol=2e-4)
+        assert all(np.isfinite(losses_tp))
+        ca = state.params["llm"]["h_0"]["attn"]["c_attn"]["kernel"]
+        assert ca.sharding.spec == P(None, "model")
 
 
 class TestMeshUtils:
