@@ -22,6 +22,7 @@ VARIANTS = {
     "two_pass_ln": {"lean_ln": False},
     "lean_gn": {"lean_gn": True},
     "fused_attn": {"fused_attn": True},
+    "unroll8": {"unroll_max_seq": 8},
     "fuse_conv": {"fuse_conv": True},
     "fused_mlp": {"use_fused_mlp": True},
 }

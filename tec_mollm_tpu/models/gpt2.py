@@ -35,11 +35,14 @@ from tec_mollm_tpu.models.lora import LoRADense
 
 # Below this sequence length, causal attention is computed with the (q, s) pairs
 # statically unrolled so every tensor keeps the model dim (768) in the minor axis.
-# The einsum form materializes (M, H, T, T) / (M, T, H, Dh) tensors whose 3-wide
+# The einsum form materializes (M, H, T, T) / (M, T, H, Dh) tensors whose T-wide
 # minor dims tile onto 128-lane registers at ~5% occupancy — profiled at 56 ms of
-# the 181 ms flagship train step (31%) for ~0.6 GFLOP of actual work. The unrolled
-# form is pure elementwise math on (M, 768)-shaped tensors + tiny (M, H) reductions.
-UNROLL_MAX_SEQ = 4
+# the 181 ms flagship train step (31%) at T=3, and +50% whole-step at T=6
+# (long-horizon preset: 16.6 -> 24.9 windows/s, interleaved A/B). The unrolled
+# form is pure elementwise math on (M, 768)-shaped tensors + tiny (M, H)
+# reductions; O(T^2) unrolled pairs bound the threshold (T=21 scale-up keeps
+# the einsum form).
+UNROLL_MAX_SEQ = 8
 
 
 def _unrolled_causal_attention(
@@ -88,6 +91,9 @@ class GPT2Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     fused_attn: bool = False
+    # unrolled-attention threshold: sequences up to this length use the
+    # lane-friendly statically-unrolled form (O(T^2) unrolled pairs)
+    unroll_max_seq: int = UNROLL_MAX_SEQ
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -107,7 +113,7 @@ class GPT2Attention(nn.Module):
 
         if (
             self.fused_attn
-            and t <= UNROLL_MAX_SEQ
+            and t <= self.unroll_max_seq
             and jax.default_backend() == "tpu"
         ):
             # one-pass Pallas kernel (ops/short_attention.py): q/k/v read from
@@ -126,7 +132,7 @@ class GPT2Attention(nn.Module):
                 )
             else:
                 out = fused_short_causal_attention(q, k, v, cfg.llm_heads)
-        elif self.use_flash and t > 1 and t > UNROLL_MAX_SEQ:
+        elif self.use_flash and t > 1 and t > self.unroll_max_seq:
             from tec_mollm_tpu.ops.flash_attention import flash_attention
 
             out = flash_attention(
@@ -136,7 +142,7 @@ class GPT2Attention(nn.Module):
                 causal=True,
             )
             out = out.reshape(b, t, d)
-        elif t <= UNROLL_MAX_SEQ:
+        elif t <= self.unroll_max_seq:
             drop = (
                 nn.Dropout(rate=cfg.llm_dropout, deterministic=False)
                 if (cfg.llm_dropout > 0.0 and not deterministic)
@@ -211,6 +217,7 @@ class GPT2Block(nn.Module):
     use_fused_mlp: bool = False
     lean_ln: bool = False
     fused_attn: bool = False
+    unroll_max_seq: int = UNROLL_MAX_SEQ
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -223,7 +230,8 @@ class GPT2Block(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         x = x + GPT2Attention(
             cfg, dtype=self.dtype, use_flash=self.use_flash,
-            fused_attn=self.fused_attn, name="attn",
+            fused_attn=self.fused_attn, unroll_max_seq=self.unroll_max_seq,
+            name="attn",
         )(h, deterministic=deterministic)
 
         # MLP residual branch: ln_2 -> c_fc -> gelu_new -> c_proj (-> dropout).
@@ -276,6 +284,7 @@ class GPT2Backbone(nn.Module):
     use_fused_mlp: bool = False
     lean_ln: bool = False
     fused_attn: bool = False
+    unroll_max_seq: int = UNROLL_MAX_SEQ
 
     @nn.compact
     def __call__(self, inputs_embeds: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -300,6 +309,7 @@ class GPT2Backbone(nn.Module):
                 use_fused_mlp=self.use_fused_mlp,
                 lean_ln=self.lean_ln,
                 fused_attn=self.fused_attn,
+                unroll_max_seq=self.unroll_max_seq,
                 name=f"h_{i}",
             )(x, deterministic)
         if self.lean_ln:

@@ -62,6 +62,9 @@ class TECMoLLM(nn.Module):
     # fusions win at these shapes — so it stays opt-in. With dropout it uses its
     # own seeded PRNG stream.
     fused_attn: bool = False
+    # threshold for the statically-unrolled lane-friendly attention (see
+    # gpt2.UNROLL_MAX_SEQ): T=6 long-horizon measured +50% unrolled vs einsum
+    unroll_max_seq: int = 8
     stencil_shifts: tuple[int, ...] | None = None
     # branch-fused temporal convs measured neutral-to-slightly-slower on v5e
     # (189 vs 185 ms/step interleaved A/B); XLA already fuses the three branches
@@ -136,6 +139,7 @@ class TECMoLLM(nn.Module):
             use_fused_mlp=self.use_fused_mlp,
             lean_ln=self.lean_ln,
             fused_attn=self.fused_attn,
+            unroll_max_seq=self.unroll_max_seq,
             name="llm",
         )(h, deterministic=deterministic)
         h = nn.Dropout(rate=cfg.post_llm_dropout, deterministic=deterministic)(h)

@@ -26,6 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = float(jnp.finfo(jnp.float32).min)
 
+# Mosaic's default scoped-VMEM stack is 16 MB; the denser long-horizon graph
+# (300 km radius -> ~33 offsets vs 11) overflows it because the per-offset fp32
+# temporaries scale with O. v5e has 128 MB of physical VMEM — raise the cap.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _kernel(
     xl_ref, xr_ref, valid_ref, att_ref, out_ref, *, shifts, heads, c, slope
@@ -101,5 +106,6 @@ def gat_stencil_attention(
                 (1, hc, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xl, xr, valid, att)

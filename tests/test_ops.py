@@ -149,7 +149,7 @@ class TestFusedMLP:
 
 
 class TestUnrolledShortAttention:
-    @pytest.mark.parametrize("t", [1, 2, 3, 4])
+    @pytest.mark.parametrize("t", [1, 2, 3, 4, 6, 8])
     def test_matches_einsum_reference(self, t):
         """The lane-friendly unrolled short-T path (56 ms/step of the flagship
         train step was (M,H,T,T)-layout waste) must equal the einsum softmax
