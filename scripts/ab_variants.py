@@ -23,6 +23,7 @@ VARIANTS = {
     "lean_gn": {"lean_gn": True},
     "fused_attn": {"fused_attn": True},
     "unroll8": {"unroll_max_seq": 8},
+    "unroll21": {"unroll_max_seq": 21},
     "fuse_conv": {"fuse_conv": True},
     "fused_mlp": {"use_fused_mlp": True},
 }
