@@ -52,6 +52,29 @@ def flatten_grid(split: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     }
 
 
+def sanitize_raw_tec(splits: dict[str, dict[str, np.ndarray]]) -> None:
+    """Guard against NaN/inf in raw TEC and space-weather arrays (in place).
+
+    The reference only nan-guards at METRIC time (metrics.py:137-144) — a NaN
+    in the raw archive would silently poison the scaler fit and every training
+    loss. Here non-finite raw values are counted, logged loudly, and replaced
+    with 0 before feature construction (the same nan_to_num stance the
+    reference applies downstream)."""
+    for name, data in splits.items():
+        for key in ("tec", "space_weather_indices"):
+            arr = data.get(key)
+            if arr is None:
+                continue
+            bad = ~np.isfinite(arr)
+            n_bad = int(bad.sum())
+            if n_bad:
+                logger.warning(
+                    "split %s: %d non-finite values (%.4f%%) in %s -> replaced with 0",
+                    name, n_bad, 100.0 * n_bad / arr.size, key,
+                )
+                data[key] = np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 def run_preprocess(
     data_cfg: DataConfig,
     out_dir: str,
@@ -98,6 +121,7 @@ def run_preprocess(
             data_cfg.test_start,
         )
 
+    sanitize_raw_tec(splits)
     tensors = build_split_tensors(splits, horizon=data_cfg.horizon)
     tensors, _ = standardize_features(
         tensors, scaler_path=os.path.join(out_dir, "scaler.npz")

@@ -238,3 +238,32 @@ class TestConfig:
         cfg = Config().resolved()
         cfg2 = Config.from_json(cfg.to_json())
         assert cfg2 == cfg
+
+
+class TestSanitizeRawTec:
+    def test_nonfinite_values_replaced_and_logged(self, caplog):
+        """NaN/inf in a raw archive must not reach the scaler fit (the
+        reference only nan-guards at metric time, metrics.py:137-144)."""
+        import logging
+
+        from tec_mollm_tpu.data.preprocess import sanitize_raw_tec
+
+        raw = synthetic_raw_data(num_steps=24, grid_h=4, grid_w=5, seed=0)
+        raw["tec"][3, 1, 2] = np.nan
+        raw["tec"][5, 0, 0] = np.inf
+        raw["space_weather_indices"][7, 2] = -np.inf
+        splits = {"train": raw}
+        with caplog.at_level(logging.WARNING):
+            sanitize_raw_tec(splits)
+        assert np.isfinite(splits["train"]["tec"]).all()
+        assert np.isfinite(splits["train"]["space_weather_indices"]).all()
+        assert splits["train"]["tec"][3, 1, 2] == 0.0
+        assert sum("non-finite" in r.message for r in caplog.records) == 2
+
+    def test_clean_data_untouched(self):
+        from tec_mollm_tpu.data.preprocess import sanitize_raw_tec
+
+        raw = synthetic_raw_data(num_steps=24, grid_h=4, grid_w=5, seed=1)
+        before = raw["tec"].copy()
+        sanitize_raw_tec({"train": raw})
+        np.testing.assert_array_equal(raw["tec"], before)
