@@ -47,11 +47,20 @@ def main() -> None:
     if args.config:
         with open(args.config) as f:
             cfg = Config.from_json(f.read())
-    elif args.checkpoint not in (None, "latest"):
-        candidate = os.path.join(os.path.dirname(args.checkpoint), "config.json")
-        if os.path.exists(candidate):
-            with open(candidate) as f:
-                cfg = Config.from_json(f.read())
+    else:
+        # resolve 'latest' FIRST so the config.json train.py wrote next to the
+        # checkpoint is found for the default invocation too
+        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
+
+        try:
+            resolved = resolve_checkpoint(args.checkpoint, args.workdir)
+        except FileNotFoundError:
+            resolved = None
+        if resolved:
+            candidate = os.path.join(os.path.dirname(resolved), "config.json")
+            if os.path.exists(candidate):
+                with open(candidate) as f:
+                    cfg = Config.from_json(f.read())
     if cfg is None:
         cfg = Config()
 

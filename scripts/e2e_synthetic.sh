@@ -13,6 +13,11 @@ EPOCHS="${3:-6}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 RUN="e2e_$(date +%Y%m%d_%H%M%S)"
 
+# the package runs in place from the repo root; keep any site dir the TPU
+# backend needs (e.g. /root/.axon_site on the tunneled dev rig) on the path too
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
+[ -d /root/.axon_site ] && export PYTHONPATH="$PYTHONPATH:/root/.axon_site"
+
 mkdir -p "$WORKDIR"
 cd "$WORKDIR"
 

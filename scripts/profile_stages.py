@@ -228,14 +228,17 @@ def main() -> None:
     h_t = jnp.asarray(
         rng.normal(size=(B * N, L, m.spatial_in_channels)).astype(np.float32), dtype
     )
-    stage("temporal_convs", TemporalEncoder(m, dtype=dtype), (h_t,))
+    # isolated stages must use the SHIPPED TECMoLLM defaults (fuse_branches off,
+    # lean_ln on) or the per-stage numbers won't explain the full-step total
+    stage("temporal_convs", TemporalEncoder(m, dtype=dtype, fuse_branches=False),
+          (h_t,))
 
     h_llm = jnp.asarray(
         rng.normal(size=(B * N, m.num_patches, m.d_llm)).astype(np.float32), dtype
     )
-    stage("gpt2_backbone_train", GPT2Backbone(m, dtype=dtype),
+    stage("gpt2_backbone_train", GPT2Backbone(m, dtype=dtype, lean_ln=True),
           (h_llm,), has_det_kwarg=True, training=True)
-    stage("gpt2_backbone_eval", GPT2Backbone(m, dtype=dtype),
+    stage("gpt2_backbone_eval", GPT2Backbone(m, dtype=dtype, lean_ln=True),
           (h_llm,), has_det_kwarg=True)
     stage("head", PredictionHead(m, dtype=dtype), (h_llm,),
           has_det_kwarg=True, training=True)

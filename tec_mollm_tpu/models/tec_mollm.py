@@ -26,7 +26,7 @@ from tec_mollm_tpu.config import ModelConfig
 from tec_mollm_tpu.graph.builder import GraphData
 from tec_mollm_tpu.models.embeddings import SpatioTemporalEmbedding
 from tec_mollm_tpu.models.gat import SpatialEncoder
-from tec_mollm_tpu.models.gpt2 import GPT2Backbone
+from tec_mollm_tpu.models.gpt2 import UNROLL_MAX_SEQ, GPT2Backbone
 from tec_mollm_tpu.models.head import PredictionHead
 from tec_mollm_tpu.models.temporal import TemporalEncoder
 
@@ -64,7 +64,7 @@ class TECMoLLM(nn.Module):
     fused_attn: bool = False
     # threshold for the statically-unrolled lane-friendly attention (see
     # gpt2.UNROLL_MAX_SEQ): T=6 long-horizon measured +50% unrolled vs einsum
-    unroll_max_seq: int = 8
+    unroll_max_seq: int = UNROLL_MAX_SEQ
     stencil_shifts: tuple[int, ...] | None = None
     # branch-fused temporal convs measured neutral-to-slightly-slower on v5e
     # (189 vs 185 ms/step interleaved A/B); XLA already fuses the three branches

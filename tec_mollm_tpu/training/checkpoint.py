@@ -109,7 +109,20 @@ class CheckpointManager:
         """All processes call this; the template's shardings tell orbax where each
         host's shards go."""
         path = os.path.join(self.dir, name)
-        restored = self._ckptr.restore(path, _to_saveable(template))
+        try:
+            restored = self._ckptr.restore(path, _to_saveable(template))
+        except (ValueError, TypeError) as e:
+            # The usual cause of a template/checkpoint pytree mismatch is an
+            # optimizer-layout change: flatten_optimizer (training/optimizer.py)
+            # stores AdamW moments as one flat vector vs per-leaf trees. Fail
+            # with an actionable message instead of orbax's structural dump.
+            raise RuntimeError(
+                f"checkpoint at {path} does not match the current train-state "
+                "structure. If it predates an optimizer-layout change, set "
+                "TrainConfig.flatten_optimizer to match the setting it was "
+                "saved with (flattened moments = one vector per moment; "
+                "unflattened = per-parameter trees) and retry."
+            ) from e
         with open(path + ".meta.json") as f:
             meta = json.load(f)
         return _from_saveable(restored, template.rng), meta

@@ -50,10 +50,18 @@ def main() -> None:
         with open(args.config) as f:
             cfg = Config.from_json(f.read())
     else:
-        # try config.json next to the checkpoint (written by train.py)
+        # try config.json next to the RESOLVED checkpoint (written by train.py)
+        # — resolving first makes the default `--checkpoint latest` pick up the
+        # run's config too, not only explicit paths
+        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
+
         cfg = None
-        if args.checkpoint not in (None, "latest"):
-            candidate = os.path.join(os.path.dirname(args.checkpoint), "config.json")
+        try:
+            resolved = resolve_checkpoint(args.checkpoint, args.workdir)
+        except FileNotFoundError:
+            resolved = None
+        if resolved:
+            candidate = os.path.join(os.path.dirname(resolved), "config.json")
             if os.path.exists(candidate):
                 with open(candidate) as f:
                     cfg = Config.from_json(f.read())

@@ -126,6 +126,27 @@ class TestCLIPipeline:
             assert d["forecast"].min() >= 0.0 and d["forecast"].max() <= 200.0
             assert list(d["indices"]) == [0, 2]
 
+    def test_predict_latest_without_config_flag(self, workdir):
+        """With --checkpoint latest and NO --config, the config.json written
+        next to the RESOLVED checkpoint must be used (review finding: the old
+        lookup skipped it exactly in the 'latest' case and assumed the
+        flagship config, which crashes on tiny checkpoints)."""
+        wd, cfg = workdir
+        run_cli(
+            [
+                os.path.join(REPO, "predict.py"),
+                "--data-dir", "proc", "--workdir", ".",
+                "--checkpoint", "latest",
+                "--output-dir", "results_lat", "--cpu",
+            ],
+            cwd=str(wd),
+        )
+        import numpy as np
+
+        with np.load(wd / "results_lat" / "forecast.npz") as d:
+            n = cfg.model.grid_h * cfg.model.grid_w
+            assert d["forecast"].shape == (1, cfg.train.L_out, n)
+
     def test_preprocess_from_hdf5_files(self, tmp_path):
         """The real-data path: CRIM-layout HDF5 files -> processed npz splits."""
         from tec_mollm_tpu.data.synthetic import write_synthetic_hdf5
