@@ -61,22 +61,61 @@ def _segment_matrix(d: int, heads: int, dtype=jnp.float32) -> jnp.ndarray:
     return (d_idx // head_dim == h_idx).astype(dtype)
 
 
-def _dropout_mask(shape, rate: float):
-    """Per-call keep mask from the core PRNG (seeded once per grid step)."""
-    bits = pltpu.prng_random_bits(shape)  # uint32
+class _Prng:
+    """Sequential dropout-bit source with one contract: seeded, draw-order-
+    deterministic uint32 streams. On TPU it wraps the core PRNG
+    (pltpu.prng_seed / prng_random_bits). In interpret mode — where the core-PRNG
+    primitives have no CPU lowering — it emulates the same contract with a
+    counter-based splitmix/murmur-style hash, so the forward/backward
+    mask-regeneration parity (same seed + same draw ORDER => same masks) is
+    hermetically testable (tests/test_ops.py::TestFusedShortAttentionDropout).
+    Bit VALUES differ between backends; the semantics do not."""
+
+    def __init__(self, seed, interpret: bool):
+        self.interpret = interpret
+        if interpret:
+            self.seed = seed.astype(jnp.uint32)
+            self.counter = 0  # trace-time draw index: kernels are traced once
+        else:
+            pltpu.prng_seed(seed)
+
+    def draw_bits(self, shape):
+        if not self.interpret:
+            return pltpu.prng_random_bits(shape)  # uint32
+        n = 1
+        for s in shape:
+            n *= s
+        idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
+        z = (
+            self.seed * jnp.uint32(0x9E3779B9)
+            + jnp.uint32(self.counter) * jnp.uint32(0x85EBCA6B)
+            + idx
+        )
+        self.counter += 1
+        z = z ^ (z >> 16)
+        z = z * jnp.uint32(0x7FEB352D)
+        z = z ^ (z >> 15)
+        z = z * jnp.uint32(0x846CA68B)
+        z = z ^ (z >> 16)
+        return z
+
+
+def _dropout_mask(prng: _Prng, shape, rate: float):
+    """Per-call keep mask from the sequential PRNG stream."""
+    bits = prng.draw_bits(shape)
     threshold = jnp.uint32(min(int(rate * _U32_SPAN), 2**32 - 1))
     return bits >= threshold
 
 
 def _fwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, heads: int, scale: float,
-    rate: float,
+    rate: float, interpret: bool,
 ):
     d = q_ref.shape[-1]
     seg = _segment_matrix(d, heads)
     seg_t = seg.T
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        prng = _Prng(seed_ref[0] + pl.program_id(0), interpret)
 
     ks = [k_ref[:, s, :].astype(jnp.float32) for s in range(t)]
     vs = [v_ref[:, s, :] for s in range(t)]
@@ -97,7 +136,7 @@ def _fwd_kernel(
         if rate > 0.0:
             inv_keep = 1.0 / (1.0 - rate)
             alphas = [
-                jnp.where(_dropout_mask(a.shape, rate), a * inv_keep, 0.0)
+                jnp.where(_dropout_mask(prng, a.shape, rate), a * inv_keep, 0.0)
                 for a in alphas
             ]
         out = None
@@ -110,7 +149,7 @@ def _fwd_kernel(
 
 def _bwd_kernel(
     seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
-    *, t: int, heads: int, scale: float, rate: float,
+    *, t: int, heads: int, scale: float, rate: float, interpret: bool,
 ):
     """Recompute-softmax backward. The PRNG draw ORDER matches the forward
     exactly (per tq ascending, per s ascending), so regenerated dropout masks
@@ -119,7 +158,7 @@ def _bwd_kernel(
     seg = _segment_matrix(d, heads)
     seg_t = seg.T
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        prng = _Prng(seed_ref[0] + pl.program_id(0), interpret)
         inv_keep = 1.0 / (1.0 - rate)
 
     ks = [k_ref[:, s, :].astype(jnp.float32) for s in range(t)]
@@ -142,7 +181,7 @@ def _bwd_kernel(
             denom = denom + e
         alphas = [e / denom for e in exps]  # pre-dropout softmax
         if rate > 0.0:
-            keeps = [_dropout_mask(a.shape, rate) for a in alphas]
+            keeps = [_dropout_mask(prng, a.shape, rate) for a in alphas]
             used = [
                 jnp.where(kp, a * inv_keep, 0.0) for kp, a in zip(keeps, alphas)
             ]
@@ -213,7 +252,8 @@ def _call_fwd(q, k, v, seed, heads, rate, interpret):
     spec = pl.BlockSpec((bm, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, t=t, heads=heads, scale=scale, rate=rate
+            _fwd_kernel, t=t, heads=heads, scale=scale, rate=rate,
+            interpret=interpret,
         ),
         grid=grid,
         in_specs=[
@@ -238,7 +278,8 @@ def _call_bwd(q, k, v, g, seed, heads, rate, interpret):
     shape = jax.ShapeDtypeStruct(qp.shape, q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, t=t, heads=heads, scale=scale, rate=rate
+            _bwd_kernel, t=t, heads=heads, scale=scale, rate=rate,
+            interpret=interpret,
         ),
         grid=grid,
         in_specs=[
@@ -284,7 +325,9 @@ def fused_short_causal_attention(
 
     dropout_rate > 0 applies attention dropout (post-softmax, scaled by
     1/(1-rate)) using the TPU core PRNG seeded with `dropout_seed` (an int32
-    scalar array); the backward regenerates the identical mask.
+    scalar array); the backward regenerates the identical mask. In interpret
+    mode the PRNG is emulated with a seeded counter-hash (see _Prng) — same
+    determinism/draw-order contract, different bit values than real TPU runs.
     """
     if dropout_seed is None:
         dropout_seed = jnp.zeros((1,), jnp.int32)

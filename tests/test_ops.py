@@ -314,3 +314,86 @@ class TestFusedShortAttention:
             np.asarray(expect, dtype=np.float32),
             atol=2e-2,
         )
+
+
+class TestFusedShortAttentionDropout:
+    """Dropout path (rate > 0) of the one-pass kernel, hermetic via the
+    interpret-mode PRNG emulation (ops/short_attention._Prng): ADVICE r2 #4 —
+    previously only the TPU parity script exercised rate > 0."""
+
+    def _qkv(self, m=24, t=3, h=2, dh=8, seed=21):
+        rng = np.random.default_rng(seed)
+        d = h * dh
+        q, k, v = (
+            jnp.asarray(rng.normal(0, 0.6, size=(m, t, d)).astype(np.float32))
+            for _ in range(3)
+        )
+        return q, k, v, h, d
+
+    def test_forward_reproducible_and_seed_sensitive(self):
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        q, k, v, h, _ = self._qkv()
+        s7 = jnp.asarray([7], jnp.int32)
+        s8 = jnp.asarray([8], jnp.int32)
+        with jax.disable_jit():
+            o1 = fused_short_causal_attention(
+                q, k, v, heads=h, dropout_rate=0.3, dropout_seed=s7, interpret=True
+            )
+            o2 = fused_short_causal_attention(
+                q, k, v, heads=h, dropout_rate=0.3, dropout_seed=s7, interpret=True
+            )
+            o3 = fused_short_causal_attention(
+                q, k, v, heads=h, dropout_rate=0.3, dropout_seed=s8, interpret=True
+            )
+            o0 = fused_short_causal_attention(q, k, v, heads=h, interpret=True)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert not np.allclose(np.asarray(o1), np.asarray(o3))
+        assert not np.allclose(np.asarray(o1), np.asarray(o0))
+
+    def test_gradient_matches_finite_difference(self):
+        """The custom VJP regenerates dropout masks in the backward; if its draw
+        ORDER diverged from the forward's, the analytic gradient would disagree
+        with finite differences of the (seed-deterministic) forward."""
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        q, k, v, h, d = self._qkv(m=16)
+        seed = jnp.asarray([3], jnp.int32)
+        rng = np.random.default_rng(99)
+        cot = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+        def loss(q, k, v):
+            with jax.disable_jit():
+                out = fused_short_causal_attention(
+                    q, k, v, heads=h, dropout_rate=0.25, dropout_seed=seed,
+                    interpret=True,
+                )
+            return jnp.sum(out * cot)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        dirs = [
+            jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+            for _ in range(3)
+        ]
+        eps = 1e-2
+        plus = loss(*(x + eps * dx for x, dx in zip((q, k, v), dirs)))
+        minus = loss(*(x - eps * dx for x, dx in zip((q, k, v), dirs)))
+        fd = (plus - minus) / (2 * eps)
+        analytic = sum(jnp.sum(gi * di) for gi, di in zip(g, dirs))
+        np.testing.assert_allclose(
+            float(analytic), float(fd), rtol=2e-2, atol=1e-3
+        )
+
+    def test_rate_zero_unchanged(self):
+        """rate=0 must not touch the PRNG path at all (exact match with the
+        no-dropout call regardless of seed)."""
+        from tec_mollm_tpu.ops.short_attention import fused_short_causal_attention
+
+        q, k, v, h, _ = self._qkv(m=20)
+        with jax.disable_jit():
+            o_no = fused_short_causal_attention(q, k, v, heads=h, interpret=True)
+            o_zero = fused_short_causal_attention(
+                q, k, v, heads=h, dropout_rate=0.0,
+                dropout_seed=jnp.asarray([5], jnp.int32), interpret=True,
+            )
+        np.testing.assert_array_equal(np.asarray(o_no), np.asarray(o_zero))
