@@ -21,6 +21,8 @@ def main() -> None:
     p.add_argument("--workdir", default=".")
     p.add_argument("--checkpoint", default="latest",
                    help="'latest' or a best_params checkpoint directory")
+    p.add_argument("--run-name", default=None,
+                   help="restrict 'latest' resolution to one run")
     p.add_argument("--split", default="test", choices=["train", "val", "test"])
     p.add_argument("--indices", type=int, nargs="*", default=None,
                    help="window start indices (stride-1); default: most recent")
@@ -53,7 +55,7 @@ def main() -> None:
         from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
 
         try:
-            resolved = resolve_checkpoint(args.checkpoint, args.workdir)
+            resolved = resolve_checkpoint(args.checkpoint, args.workdir, args.run_name)
         except FileNotFoundError:
             resolved = None
         if resolved:
@@ -62,6 +64,15 @@ def main() -> None:
                 with open(candidate) as f:
                     cfg = Config.from_json(f.read())
     if cfg is None:
+        # ADVICE r2 #1: a silent flagship-Config fallback made non-flagship
+        # restores fail with an opaque structural error downstream
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "no config.json found next to the checkpoint — falling back to the "
+            "flagship default Config(); restoring a non-flagship checkpoint "
+            "will fail (pass --config <run>/config.json)"
+        )
         cfg = Config()
 
     run_prediction(
@@ -72,6 +83,7 @@ def main() -> None:
         indices=args.indices,
         output_dir=args.output_dir,
         workdir=args.workdir,
+        run_name=args.run_name,
     )
 
 

@@ -139,11 +139,14 @@ class BatchLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n)
-        # contiguous shard per host, equal sizes (truncate like DistributedSampler
-        # with drop_last semantics to keep hosts in lockstep)
-        per_shard = n // self.num_shards if self.num_shards > 1 else n
+        # strided shard per host (order[rank::world], truncated to equal sizes —
+        # DistributedSampler-with-drop_last semantics, reference train.py:309).
+        # Strided (not contiguous) so the UNION of all hosts' batch b equals the
+        # rows a single process would put in macro batch b: per-step losses then
+        # match across process counts up to reduction order (tests/test_multihost.py).
         if self.num_shards > 1:
-            order = order[self.shard_index * per_shard : (self.shard_index + 1) * per_shard]
+            per_shard = n // self.num_shards
+            order = order[self.shard_index :: self.num_shards][:per_shard]
         return order
 
     def __len__(self) -> int:

@@ -51,6 +51,41 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(tree: Any, shardings: Any) -> Any:
+    """Place a host-resident tree onto (possibly multi-host) global shardings.
+
+    Single-process: plain device_put. Multi-process: device_put rejects
+    shardings spanning non-addressable devices (found by the first REAL
+    2-process run, tests/test_multihost.py — VERDICT r2 #2's predicted bug
+    class), so build global jax.Arrays via make_array_from_callback: every
+    process holds the full host value (identical-seed init / identical graph),
+    and each device reads its own slice. PRNG key arrays route through
+    key_data/wrap_key_data (extended dtypes can't be built from callbacks).
+    """
+    import jax.dtypes
+
+    single = jax.process_count() == 1
+    if isinstance(shardings, jax.sharding.Sharding):
+        shardings = jax.tree.map(lambda _: shardings, tree)
+
+    def one(x, s):
+        if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            if single:
+                return jax.device_put(x, s)
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            raw = jax.make_array_from_callback(
+                data.shape, s, lambda idx: data[idx]
+            )
+            return jax.random.wrap_key_data(raw, impl=impl)
+        if single:
+            return jax.device_put(x, s)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+    return jax.tree.map(one, tree, shardings)
+
+
 def shard_batch(batch: dict[str, Any], mesh: Mesh, data_axis: str = "data") -> dict[str, Any]:
     """Device-put a host batch with batch-dim sharding (the per-host data sharding
     that replaces DistributedSampler)."""

@@ -112,16 +112,22 @@ class CheckpointManager:
         try:
             restored = self._ckptr.restore(path, _to_saveable(template))
         except (ValueError, TypeError) as e:
-            # The usual cause of a template/checkpoint pytree mismatch is an
-            # optimizer-layout change: flatten_optimizer (training/optimizer.py)
-            # stores AdamW moments as one flat vector vs per-leaf trees. Fail
-            # with an actionable message instead of orbax's structural dump.
+            # Common causes of a template/checkpoint pytree mismatch, most
+            # likely first (ADVICE r2 #2: do not blame only the optimizer):
+            #   * config/preset mismatch — restoring with a different model
+            #     shape than the checkpoint was trained with (pass the run's
+            #     config.json, written next to the checkpoint by train.py);
+            #   * optimizer-layout change — flatten_optimizer
+            #     (training/optimizer.py) stores AdamW moments as one flat
+            #     vector vs per-leaf trees.
             raise RuntimeError(
                 f"checkpoint at {path} does not match the current train-state "
-                "structure. If it predates an optimizer-layout change, set "
-                "TrainConfig.flatten_optimizer to match the setting it was "
-                "saved with (flattened moments = one vector per moment; "
-                "unflattened = per-parameter trees) and retry."
+                "structure. Check that the config/preset matches the one the "
+                "checkpoint was trained with (its config.json sits next to the "
+                "checkpoint). If configs match and the checkpoint predates an "
+                "optimizer-layout change, set TrainConfig.flatten_optimizer to "
+                "the setting it was saved with (flattened moments = one vector "
+                "per moment; unflattened = per-parameter trees) and retry."
             ) from e
         with open(path + ".meta.json") as f:
             meta = json.load(f)
@@ -151,14 +157,20 @@ class CheckpointManager:
         return self._ckptr.restore(path, _host_local(template))
 
 
-def find_latest_checkpoint(checkpoint_root: str, kind: str = "best_params") -> str:
+def find_latest_checkpoint(
+    checkpoint_root: str, kind: str = "best_params", run_name: str | None = None
+) -> str:
     """Most-recently-modified '<run>/best_params' under checkpoint_root
-    (reference test.py:73-89 globs best_model_*.pth by mtime)."""
+    (reference test.py:73-89 globs best_model_*.pth by mtime). `run_name`
+    restricts the search to one run — without it, a mixed-preset workdir
+    resolves to whichever run finished last (VERDICT r2 weak #5)."""
+    runs = [run_name] if run_name else os.listdir(checkpoint_root)
     candidates = []
-    for run in os.listdir(checkpoint_root):
+    for run in runs:
         path = os.path.join(checkpoint_root, run, kind)
         if os.path.isdir(path):
             candidates.append(path)
     if not candidates:
-        raise FileNotFoundError(f"No '{kind}' checkpoints under {checkpoint_root}")
+        where = f"{checkpoint_root}/{run_name}" if run_name else checkpoint_root
+        raise FileNotFoundError(f"No '{kind}' checkpoints under {where}")
     return max(candidates, key=os.path.getmtime)

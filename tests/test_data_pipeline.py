@@ -198,6 +198,16 @@ class TestSlidingWindow:
         n = len(ds) // 2 // 4
         assert len(l0) == len(l1) == n
 
+        # strided sharding: the union of both shards' batch b equals the rows a
+        # single process would put in global batch b (loss parity across
+        # process counts, tests/test_multihost.py)
+        lg = BatchLoader(ds, batch_size=8, num_shards=1, prefetch=0)
+        for b0, b1, bg in zip(l0, l1, lg):
+            union = np.sort(
+                np.concatenate([b0["x"][:, 0, 0, 0], b1["x"][:, 0, 0, 0]])
+            )
+            np.testing.assert_array_equal(union, np.sort(bg["x"][:, 0, 0, 0]))
+
     def test_loader_pads_remainder(self):
         data = self._make(T=40)
         ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)  # 21 windows

@@ -184,3 +184,60 @@ class TestMeshUtils:
         out = pad_batch_to_multiple(batch, 4)
         assert out["x"].shape == (8, 3)
         assert out["valid"].tolist() == [True] * 5 + [False] * 3
+
+
+class TestDataParallelEval:
+    """VERDICT r2 #4: the eval harness must scale over the mesh like the
+    Trainer's validate path — metrics computed on 8 devices must match a
+    single-device run."""
+
+    def _params(self, cfg, ds, graph_np):
+        model = TECMoLLM(cfg.model)
+        batch = ds.gather_batch(np.arange(2))
+        return model.init(
+            jax.random.key(5),
+            jnp.asarray(batch["x"]),
+            jnp.asarray(batch["time_features"]),
+            jnp.asarray(graph_np[0]),
+            jnp.asarray(graph_np[1]),
+        )["params"]
+
+    def test_streaming_eval_8dev_matches_1dev(self, setup, tiny_graph):
+        from tec_mollm_tpu.data.scaler import StandardScaler
+        from tec_mollm_tpu.evaluation.harness import evaluate_model_streaming
+
+        cfg, ds, graph_np = setup
+        params = self._params(cfg, ds, graph_np)
+        scaler = StandardScaler()
+        scaler.mean_ = np.array([40.0])
+        scaler.scale_ = np.array([15.0])
+
+        # batch 6 does not divide 8: exercises the round-up path too
+        m8 = evaluate_model_streaming(cfg, params, ds, tiny_graph, scaler, batch_size=6)
+        m1 = evaluate_model_streaming(
+            cfg, params, ds, tiny_graph, scaler, batch_size=6,
+            devices=jax.devices()[:1],
+        )
+        for key in ("mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg"):
+            # abs term: pearson/r2 of a random-init model sit near 0 where
+            # cross-device reduction-order noise dominates the relative scale
+            assert m8[key] == pytest.approx(m1[key], rel=1e-5, abs=1e-6), key
+        np.testing.assert_allclose(
+            m8["mae_by_horizon"], m1["mae_by_horizon"], rtol=1e-5
+        )
+
+    def test_eval_batches_are_sharded(self, setup, tiny_graph):
+        """The eval step must actually see batch-dim-sharded inputs (not one
+        device doing all the work)."""
+        from tec_mollm_tpu.evaluation.harness import EvalExecutor
+
+        cfg, ds, graph_np = setup
+        params = self._params(cfg, ds, graph_np)
+        ex = EvalExecutor(cfg, tiny_graph, params, batch_size=8)
+        assert ex.dp == 8 and ex.batch_size == 8
+        batch = ds.gather_batch(np.arange(8))
+        batch["valid"] = np.ones(8, dtype=bool)
+        dev = ex.put(batch)
+        assert len(dev["x"].sharding.device_set) == 8
+        shard_shapes = {s.data.shape[0] for s in dev["x"].addressable_shards}
+        assert shard_shapes == {1}  # 8-way batch split

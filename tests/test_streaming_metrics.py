@@ -71,3 +71,67 @@ class TestStreamingParity:
         acc.update(jnp.asarray(yts), jnp.asarray(yps))
         got = acc.finalize()
         assert got["rmse_avg"] == pytest.approx(exact["rmse_avg"], rel=2e-4)
+
+
+class TestStreamingPrecisionAtScale:
+    """VERDICT r2 #9: the per-batch fp32 sums (notably sum y^2 ~ 5e8 at the real
+    2-year stride-1 split) are the term closest to the fp32 precision edge.
+    Differential test: the shipped fp32-on-device accumulation vs an exact
+    float64 host computation at realistic magnitudes — flagship node count
+    (2911), B=16, values ~ N(40, 15) TECU, ~1k batches through the default
+    flush_every=128 chunking."""
+
+    def test_fp32_device_vs_float64_host(self, rng):
+        n_unique, repeats = 8, 128     # 1024 batches total
+        B, L, N = 16, 12, 2911
+        scaler = StandardScaler()
+        scaler.mean_ = np.array([40.0])
+        scaler.scale_ = np.array([15.0])
+
+        yts, yps = [], []
+        for _ in range(n_unique):
+            yt = np.clip(rng.normal(40, 15, size=(B, L, N, 1)), 0.0, 200.0)
+            yp = yt + rng.normal(0, 4, size=yt.shape)
+            yts.append(((yt - 40.0) / 15.0).astype(np.float32))
+            yps.append(((yp - 40.0) / 15.0).astype(np.float32))
+
+        acc = StreamingHorizonMetrics(L, scaler)  # default flush_every=128
+        for r in range(repeats):
+            for u in range(n_unique):
+                acc.update(jnp.asarray(yts[u]), jnp.asarray(yps[u]))
+        got = acc.finalize()
+
+        # exact float64 reference with identical guard/clip semantics
+        stats = np.zeros((L, 8), dtype=np.float64)
+        for u in range(n_unique):
+            yt = yts[u].astype(np.float64).reshape(B, L, -1) * 15.0 + 40.0
+            yp = np.clip(
+                yps[u].astype(np.float64).reshape(B, L, -1) * 15.0 + 40.0,
+                0.0, 200.0,
+            )
+            err = yp - yt
+            stats[:, 0] += B * yt.shape[-1]
+            stats[:, 1] += np.abs(err).sum(axis=(0, 2))
+            stats[:, 2] += (err ** 2).sum(axis=(0, 2))
+            stats[:, 3] += yt.sum(axis=(0, 2))
+            stats[:, 4] += (yt ** 2).sum(axis=(0, 2))
+            stats[:, 5] += yp.sum(axis=(0, 2))
+            stats[:, 6] += (yp ** 2).sum(axis=(0, 2))
+            stats[:, 7] += (yt * yp).sum(axis=(0, 2))
+        stats *= repeats  # identical batches contribute identically in exact math
+        n = stats[:, 0]
+        mae = (stats[:, 1] / n).mean()
+        rmse = np.sqrt(stats[:, 2] / n).mean()
+        ss_tot = stats[:, 4] - stats[:, 3] ** 2 / n
+        r2 = (1.0 - stats[:, 2] / ss_tot).mean()
+        var_t = stats[:, 4] / n - (stats[:, 3] / n) ** 2
+        var_p = stats[:, 6] / n - (stats[:, 5] / n) ** 2
+        cov = stats[:, 7] / n - (stats[:, 3] / n) * (stats[:, 5] / n)
+        pearson = (cov / np.sqrt(var_t * var_p)).mean()
+
+        assert got["mae_avg"] == pytest.approx(mae, rel=1e-5)
+        assert got["rmse_avg"] == pytest.approx(rmse, rel=1e-5)
+        # r2/pearson divide cancellation-prone moment differences; fp32
+        # per-batch moments cost a few more digits
+        assert got["r2_score_avg"] == pytest.approx(r2, rel=1e-3, abs=1e-4)
+        assert got["pearson_r_avg"] == pytest.approx(pearson, rel=1e-3, abs=1e-4)
