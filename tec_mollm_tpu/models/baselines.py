@@ -86,15 +86,18 @@ class SeasonalNaive:
 
 
 def sarima_baseline(*args, **kwargs):
-    """Per-node SARIMAX(1,1,1)(1,1,1,12) as in reference baselines.py:47-72.
-    Requires statsmodels (not installed in the TPU image)."""
+    """Per-node SARIMAX(1,1,1)(1,1,1,12) via statsmodels, as in reference
+    baselines.py:47-72. statsmodels is NOT in the TPU image — use the
+    first-party batched implementation instead (models/sarima.py, wired into
+    `test.py --baseline sarima`), which fits all nodes in one jitted CSS
+    program rather than a per-node solver loop."""
     try:
         from statsmodels.tsa.statespace.sarimax import SARIMAX  # noqa: F401
     except ImportError as e:
         raise ImportError(
-            "statsmodels is not available in this environment; use SeasonalNaive "
-            "or HistoricalAverage (the reference never wires SARIMA into its "
-            "train/eval path either — SURVEY.md §2 #25)"
+            "statsmodels is not available in this environment; use the "
+            "first-party models/sarima.py (test.py --baseline sarima), "
+            "SeasonalNaive, or HistoricalAverage"
         ) from e
 
     class SarimaBaseline:

@@ -30,6 +30,13 @@ def main() -> None:
     p.add_argument("--config", default=None,
                    help="config json (e.g. checkpoints/<run>/config.json); "
                         "overrides the individual model flags")
+    p.add_argument("--baseline", action="append", default=[],
+                   choices=["sarima"],
+                   help="additional baseline rows (beyond the always-on HA): "
+                        "'sarima' = first-party batched SARIMA(1,1,1)x"
+                        "(1,1,1,s) fitted on the train split")
+    p.add_argument("--sarima-season", type=int, default=12,
+                   help="seasonal period s for --baseline sarima")
     p.add_argument("--rollout-steps", type=int, default=0,
                    help="also run an autoregressive rollout eval this many steps "
                         "beyond L_out (predictions fed back as inputs)")
@@ -83,6 +90,8 @@ def main() -> None:
         batch_size=args.batch_size,
         workdir=args.workdir,
         run_name=args.run_name,
+        baselines=tuple(args.baseline),
+        sarima_season=args.sarima_season,
     )
 
     if args.rollout_steps > 0:
