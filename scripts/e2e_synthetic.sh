@@ -5,13 +5,20 @@
 # to force CPU). Mirrors the round-2 demo recorded in BASELINE.md.
 #
 #   bash scripts/e2e_synthetic.sh [workdir] [steps] [epochs]
+#
+# GPT2_CKPT=<dir> drives the pretrained-backbone path: train.py imports the
+# HF-format checkpoint (e.g. checkpoints/surrogate_gpt2 from
+# scripts/pretrain_backbone.py) through models/hf_import before training —
+# the exact flow a real downloaded gpt2 checkpoint would take.
 set -euo pipefail
 
 WORKDIR="${1:-/tmp/tec_e2e}"
 STEPS="${2:-4000}"
 EPOCHS="${3:-6}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-RUN="e2e_$(date +%Y%m%d_%H%M%S)"
+RUN="${RUN_NAME:-e2e_$(date +%Y%m%d_%H%M%S)}"
+GPT2_ARGS=()
+[ -n "${GPT2_CKPT:-}" ] && GPT2_ARGS=(--gpt2-checkpoint "$GPT2_CKPT")
 
 # the package runs in place from the repo root; keep any site dir the TPU
 # backend needs (e.g. /root/.axon_site on the tunneled dev rig) on the path too
@@ -29,7 +36,8 @@ PALLAS_AXON_POOL_IPS= python -m tec_mollm_tpu.data.preprocess \
 #    reference's stride-12 default the synthetic set has too few windows and
 #    overfits; the real 2013-21 archive is ~12x larger)
 python "$REPO/train.py" --data-dir proc --workdir . --run-name "$RUN" \
-    --epochs "$EPOCHS" --train-stride 1 --batch-size 8 --accumulation-steps 1
+    --epochs "$EPOCHS" --train-stride 1 --batch-size 8 --accumulation-steps 1 \
+    "${GPT2_ARGS[@]}"
 
 # 3. evaluate best checkpoint vs HA (per-horizon MAE/RMSE/R2/Pearson, CSV)
 python "$REPO/test.py" --data-dir proc --workdir . \

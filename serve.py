@@ -1,0 +1,91 @@
+"""Forecast server CLI: load a checkpoint once, answer warm forecast requests.
+
+Beyond the reference surface (its test.py only scores offline) — see
+tec_mollm_tpu/serving/server.py for the API.
+
+    python serve.py --data-dir data/processed --checkpoint latest --port 8901
+    curl -s localhost:8901/healthz
+    curl -s -X POST localhost:8901/forecast -d '{"indices": [0, 1]}'
+
+--bench N skips the HTTP layer: N warm forecast calls through the service,
+printing p50/p95 latency (the serving number recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="TEC-MoLLM forecast server")
+    p.add_argument("--data-dir", default="data/processed")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--checkpoint", default="latest")
+    p.add_argument("--run-name", default=None)
+    p.add_argument("--config", default=None)
+    p.add_argument("--splits", nargs="*", default=["test"])
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8901)
+    p.add_argument("--bench", type=int, default=0, metavar="N",
+                   help="run N warm forecast calls and print latency stats "
+                        "instead of serving HTTP")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from tec_mollm_tpu.config import Config
+    from tec_mollm_tpu.serving import ForecastService, serve
+    from tec_mollm_tpu.utils.logging import setup_logging
+
+    setup_logging(process_index=jax.process_index())
+
+    cfg = None
+    if args.config:
+        with open(args.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
+
+        try:
+            resolved = resolve_checkpoint(args.checkpoint, args.workdir, args.run_name)
+        except FileNotFoundError:
+            resolved = None
+        if resolved:
+            candidate = os.path.join(os.path.dirname(resolved), "config.json")
+            if os.path.exists(candidate):
+                with open(candidate) as f:
+                    cfg = Config.from_json(f.read())
+    if cfg is None:
+        cfg = Config()
+
+    service = ForecastService(
+        cfg, args.data_dir, args.checkpoint,
+        workdir=args.workdir, run_name=args.run_name,
+        max_batch=args.max_batch, splits=tuple(args.splits),
+    )
+
+    if args.bench:
+        import numpy as np
+
+        ds_len = service.health()["splits"][args.splits[0]]
+        rng = np.random.default_rng(0)
+        for _ in range(args.bench):
+            idx = rng.integers(0, ds_len, size=1).tolist()
+            service.forecast(idx, args.splits[0])
+        print(json.dumps({**service.stats(), "batch": 1}))
+        return
+
+    serve(service, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Forecast service (serving/server.py): warm path, padding, clipping, HTTP
+surface, latency accounting (VERDICT r2 #10)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tec_mollm_tpu.config import DataConfig, tiny_config
+
+
+@pytest.fixture(scope="module")
+def served_workdir(tmp_path_factory):
+    """Processed tiny synthetic data + a saved (random-init) best_params
+    checkpoint with its config.json — all the service needs."""
+    from tec_mollm_tpu.data.preprocess import run_preprocess
+    from tec_mollm_tpu.graph.builder import GraphData
+    from tec_mollm_tpu.models import TECMoLLM
+    from tec_mollm_tpu.training.checkpoint import CheckpointManager
+
+    wd = tmp_path_factory.mktemp("serve")
+    data_dir = wd / "proc"
+    cfg = tiny_config()
+    run_preprocess(
+        DataConfig(horizon=cfg.train.L_out), str(data_dir),
+        synthetic_steps=200, synthetic_grid=(cfg.model.grid_h, cfg.model.grid_w),
+    )
+    graph = GraphData.load(str(data_dir / "graph.npz"))
+    model = TECMoLLM(cfg.model)
+    m = cfg.model
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, m.temporal_seq_len, m.num_nodes, m.in_features)),
+        jnp.zeros((1, m.temporal_seq_len, 4), jnp.int32),
+        jnp.asarray(graph.neighbors), jnp.asarray(graph.neighbor_mask),
+    )["params"]
+    mgr = CheckpointManager(str(wd), "srun")
+    mgr.save_params(jax.device_get(params), "best")
+    (wd / "checkpoints" / "srun" / "config.json").write_text(cfg.to_json())
+    return str(wd), str(data_dir), cfg
+
+
+@pytest.fixture(scope="module")
+def service(served_workdir):
+    from tec_mollm_tpu.serving import ForecastService
+
+    wd, data_dir, cfg = served_workdir
+    return ForecastService(
+        cfg, data_dir, "latest", workdir=wd, run_name="srun", max_batch=8
+    )
+
+
+class TestForecastService:
+    def test_forecast_shapes_units_latency(self, service, served_workdir):
+        _, _, cfg = served_workdir
+        out = service.forecast([0, 3, 5])
+        f = np.asarray(out["forecast"])
+        assert f.shape == (3, cfg.train.L_out, cfg.model.num_nodes)
+        assert np.isfinite(f).all()
+        assert (f >= 0.0).all() and (f <= 200.0).all()
+        assert out["latency_ms"] > 0
+        assert out["indices"] == [0, 3, 5]
+
+    def test_padding_does_not_change_results(self, service):
+        """A 1-window request (padded to max_batch) must equal the same window
+        inside a full batch."""
+        solo = np.asarray(service.forecast([2])["forecast"])
+        batch = np.asarray(service.forecast([0, 1, 2, 3])["forecast"])
+        np.testing.assert_allclose(solo[0], batch[2], rtol=1e-5, atol=1e-5)
+
+    def test_request_validation(self, service):
+        with pytest.raises(ValueError, match="out of range"):
+            service.forecast([10**6])
+        with pytest.raises(ValueError, match="1..8"):
+            service.forecast([])
+        with pytest.raises(ValueError, match="1..8"):
+            service.forecast(list(range(9)))
+        with pytest.raises(KeyError, match="not served"):
+            service.forecast([0], split="train")
+
+    def test_stats(self, service):
+        service.forecast([0])
+        s = service.stats()
+        assert s["requests"] >= 1
+        assert s["p50_ms"] > 0 and s["p95_ms"] >= s["p50_ms"]
+
+    def test_health(self, service, served_workdir):
+        _, _, cfg = served_workdir
+        h = service.health()
+        assert h["status"] == "ok"
+        assert h["num_nodes"] == cfg.model.num_nodes
+        assert h["warmup_s"] > 0
+
+
+class TestHTTPSurface:
+    def test_end_to_end_http(self, service):
+        from http.server import ThreadingHTTPServer
+
+        from tec_mollm_tpu.serving.server import _make_handler
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(service))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30
+            ) as r:
+                assert json.load(r)["status"] == "ok"
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/forecast",
+                data=json.dumps({"indices": [1, 4]}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                out = json.load(r)
+            assert len(out["forecast"]) == 2
+            assert out["latency_ms"] > 0
+
+            # malformed request -> 400, server stays alive
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/forecast",
+                data=json.dumps({"indices": []}).encode(),
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30
+            ) as r:
+                assert json.load(r)["requests"] >= 1
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
