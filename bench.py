@@ -32,6 +32,10 @@ def main() -> None:
     parser.add_argument("--quick", action="store_true", help="tiny model, 3 steps (CI)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument("--no-remat", action="store_true", help="disable LLM remat")
+    parser.add_argument("--remat-policy", default=None,
+                        choices=["full", "dots_saveable", "nothing_saveable"],
+                        help="jax.checkpoint policy when remat is on "
+                             "(models/gpt2.REMAT_POLICIES)")
     parser.add_argument("--no-bf16", action="store_true", help="fp32 compute")
     parser.add_argument("--preset", default="default",
                         help="config preset: default | scale_up | long_horizon | "
@@ -102,6 +106,7 @@ def main() -> None:
         m,
         dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
         remat_llm=cfg.train.remat_llm,
+        remat_policy=args.remat_policy or cfg.train.remat_policy,
         stencil_shifts=stencil_shifts,
         fuse_conv=args.fuse_conv,
         lean_ln=not args.two_pass_ln,

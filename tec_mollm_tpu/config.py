@@ -144,6 +144,10 @@ class TrainConfig:
     # default B=8/L_in=48 everything fits without it (measured on v5e). Enable for
     # long-context / large-batch configs.
     remat_llm: bool = False
+    # jax.checkpoint policy when remat_llm is on (models/gpt2.REMAT_POLICIES):
+    # None/'full' = save nothing; 'dots_saveable' = keep matmul outputs and
+    # recompute only elementwise ops (selective remat)
+    remat_policy: str | None = None
     # Run AdamW+clip on ONE flattened vector instead of ~80 per-leaf tensors:
     # identical math, but collapses hundreds of microscopic fused kernels into a
     # few (the per-leaf update measured 8.8 ms of the 186 ms step on v5e).

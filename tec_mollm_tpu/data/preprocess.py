@@ -86,19 +86,41 @@ def run_preprocess(
 
     if synthetic_steps is not None:
         gh, gw = synthetic_grid
-        # spread synthetic time range so all three splits are populated:
-        # 60% train (<=2021), 25% val (2022-23), 15% test (>=2024). The TEC
-        # pattern is generated FROM these pieced timestamps (synthetic.py) so
-        # diurnal/seasonal phase stays consistent with the time-feature labels
-        # on every split.
+        # Spread the synthetic time range so all three splits are populated:
+        # nominally 60% train (<=2021), 25% val (2022-23), 15% test (>=2024).
+        # Each piece is CAPACITY-AWARE: at 2-h cadence the val window holds only
+        # 2 years (~8766 steps) and test ~2 years — a naive 25% of a 13-year-
+        # sized archive would spill past the split mask and be SILENTLY DROPPED
+        # (caught by the r3 scale rehearsal: 57k steps kept only 4.4k train).
+        # Overflow beyond a piece's span goes to train, whose window is anchored
+        # to END at 2021-12-31 (the reference's 2013-2021 train years).
         t = synthetic_steps
+        step_s = np.timedelta64(7200, "s")
+
+        def span_steps(start: str, end: str) -> int:
+            return int(
+                (np.datetime64(end, "s") - np.datetime64(start, "s"))
+                // step_s
+            )
+
+        train_cap = span_steps("2013-01-01T00:00:00", "2022-01-01T00:00:00")
+        val_cap = span_steps("2022-01-01T00:00:00", "2024-01-01T00:00:00")
+        test_cap = span_steps("2024-01-01T00:00:00", "2026-01-01T00:00:00")
+        val_n = min(int(t * 0.25), val_cap)
+        test_n = min(t - int(t * 0.6) - int(t * 0.25), test_cap)
+        train_n = t - val_n - test_n
+        if train_n > train_cap:
+            raise ValueError(
+                f"--synthetic {t} exceeds the 2013-2025 archive capacity "
+                f"(max {train_cap + val_cap + test_cap} steps at 2-h cadence)"
+            )
         times = np.concatenate([
-            np.datetime64("2021-01-01T00:00:00", "s")
-            + np.arange(int(t * 0.6)) * np.timedelta64(7200, "s"),
+            np.datetime64("2022-01-01T00:00:00", "s") - train_n * step_s
+            + np.arange(train_n) * step_s,
             np.datetime64("2022-01-01T00:00:00", "s")
-            + np.arange(int(t * 0.25)) * np.timedelta64(7200, "s"),
+            + np.arange(val_n) * step_s,
             np.datetime64("2024-01-01T00:00:00", "s")
-            + np.arange(t - int(t * 0.6) - int(t * 0.25)) * np.timedelta64(7200, "s"),
+            + np.arange(test_n) * step_s,
         ])
         raw = synthetic_raw_data(
             num_steps=synthetic_steps, grid_h=gh, grid_w=gw, seed=seed,

@@ -54,6 +54,10 @@ class TECMoLLM(nn.Module):
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.float32
     remat_llm: bool = False
+    # named jax.checkpoint policy for the remat'd blocks (gpt2.REMAT_POLICIES):
+    # None/'full' recomputes everything; 'dots_saveable' keeps MXU outputs and
+    # recomputes only the elementwise chain
+    remat_policy: str | None = None
     use_flash: bool = False
     # one-pass Pallas short-T attention (ops/short_attention.py): q/k/v read from
     # HBM once per layer, custom-VJP backward; TPU-only, short-T-only guard in
@@ -135,6 +139,7 @@ class TECMoLLM(nn.Module):
             cfg,
             dtype=self.dtype,
             remat=self.remat_llm,
+            remat_policy=self.remat_policy,
             use_flash=self.use_flash,
             use_fused_mlp=self.use_fused_mlp,
             lean_ln=self.lean_ln,

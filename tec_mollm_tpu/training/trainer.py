@@ -84,6 +84,7 @@ class Trainer:
             cfg.model,
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
             remat_llm=cfg.train.remat_llm,
+            remat_policy=cfg.train.remat_policy,
             stencil_shifts=stencil_shifts,
         )
         self.train_ds = train_ds

@@ -277,3 +277,44 @@ class TestSanitizeRawTec:
         before = raw["tec"].copy()
         sanitize_raw_tec({"train": raw})
         np.testing.assert_array_equal(raw["tec"], before)
+
+
+class TestSyntheticArchiveCapacity:
+    """r3 scale-rehearsal regression: a 13-year-sized --synthetic archive used
+    to anchor its train piece at 2021-01-01, so everything past 2021-12-31
+    spilled over the split mask and was SILENTLY dropped (56.5k steps kept only
+    4.4k train). The allocation is now capacity-aware over 2013-2025."""
+
+    def test_13yr_sized_archive_fills_all_splits(self, tmp_path):
+        from tec_mollm_tpu.config import DataConfig
+        from tec_mollm_tpu.data.preprocess import run_preprocess
+
+        sizes = run_preprocess(
+            DataConfig(horizon=12), str(tmp_path / "p"),
+            synthetic_steps=56500, synthetic_grid=(2, 2),
+        )
+        # ~9 years train / 2 years val / 2 years test at 2-h cadence
+        assert sizes["train"] > 39000
+        assert 8000 < sizes["val"] < 9000
+        assert 8000 < sizes["test"] < 9000
+        assert sum(sizes.values()) > 56500 - 3 * 12 - 10  # only horizon truncation
+
+    def test_over_capacity_raises(self, tmp_path):
+        from tec_mollm_tpu.config import DataConfig
+        from tec_mollm_tpu.data.preprocess import run_preprocess
+
+        with pytest.raises(ValueError, match="capacity"):
+            run_preprocess(
+                DataConfig(horizon=12), str(tmp_path / "q"),
+                synthetic_steps=90000, synthetic_grid=(2, 2),
+            )
+
+    def test_small_archive_unchanged(self, tmp_path):
+        from tec_mollm_tpu.config import DataConfig
+        from tec_mollm_tpu.data.preprocess import run_preprocess
+
+        sizes = run_preprocess(
+            DataConfig(horizon=4), str(tmp_path / "r"),
+            synthetic_steps=400, synthetic_grid=(3, 3),
+        )
+        assert sizes == {"train": 236, "val": 96, "test": 56}
