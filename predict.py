@@ -28,7 +28,7 @@ def main() -> None:
                    help="window start indices (stride-1); default: most recent")
     p.add_argument("--output-dir", default="results")
     p.add_argument("--config", default=None,
-                   help="config json (e.g. checkpoints/<run>/config.json)")
+                   help="preset name or config json (e.g. checkpoints/<run>/config.json)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -47,8 +47,9 @@ def main() -> None:
 
     cfg = None
     if args.config:
-        with open(args.config) as f:
-            cfg = Config.from_json(f.read())
+        from tec_mollm_tpu.config import load_config
+
+        cfg = load_config(args.config)
     else:
         # resolve 'latest' FIRST so the config.json train.py wrote next to the
         # checkpoint is found for the default invocation too

@@ -50,8 +50,9 @@ def main() -> None:
 
     cfg = None
     if args.config:
-        with open(args.config) as f:
-            cfg = Config.from_json(f.read())
+        from tec_mollm_tpu.config import load_config
+
+        cfg = load_config(args.config)
     else:
         from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
 

@@ -267,6 +267,14 @@ PRESETS = {
 }
 
 
+def load_config(name_or_path: str) -> Config:
+    """Resolve a --config value: a preset name from PRESETS, else a json path."""
+    if name_or_path in PRESETS:
+        return PRESETS[name_or_path]()
+    with open(name_or_path) as f:
+        return Config.from_json(f.read())
+
+
 def tiny_config(
     grid_h: int = 6,
     grid_w: int = 8,

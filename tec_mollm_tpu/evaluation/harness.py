@@ -112,7 +112,14 @@ class EvalExecutor:
 
     def put(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
         import jax
+        import jax.numpy as jnp
 
+        if self.cfg.train.bf16:
+            # the model's first op casts x to bf16 (embeddings.py) — casting on
+            # the host instead halves host->device bytes for the batch's
+            # dominant tensor (y stays fp32: it feeds the loss/metrics directly)
+            batch = dict(batch)
+            batch["x"] = batch["x"].astype(jnp.bfloat16)
         if jax.process_count() > 1:
             return {
                 k: jax.make_array_from_process_local_data(self.batch_sharding, v)

@@ -249,8 +249,18 @@ class Trainer:
             # weighting by the host-local count would be wrong on multihost pods
             loss_terms.append((loss, jnp.sum(valid_dev)))
             acc.update(trues, preds, valid_dev)
-        total = sum(float(loss) * float(n) for loss, n in loss_terms)
-        count = sum(float(n) for _, n in loss_terms)
+        # stack on device, read back ONCE, reduce in float64 on host — a
+        # per-batch float() costs one tunnel RTT each (~30 s/epoch at stride-1
+        # full-archive validation)
+        if loss_terms:
+            stacked = np.asarray(
+                jnp.stack([jnp.stack([l, n]) for l, n in loss_terms]),
+                dtype=np.float64,
+            )
+            total = float(np.sum(stacked[:, 0] * stacked[:, 1]))
+            count = float(np.sum(stacked[:, 1]))
+        else:
+            total = count = 0.0
         avg_loss = total / max(count, 1.0)
         return avg_loss, acc.finalize()
 

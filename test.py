@@ -28,7 +28,7 @@ def main() -> None:
     p.add_argument("--d-emb", type=int, default=16)
     p.add_argument("--llm-layers", type=int, default=3)
     p.add_argument("--config", default=None,
-                   help="config json (e.g. checkpoints/<run>/config.json); "
+                   help="preset name or config json (e.g. checkpoints/<run>/config.json); "
                         "overrides the individual model flags")
     p.add_argument("--baseline", action="append", default=[],
                    choices=["sarima"],
@@ -58,8 +58,9 @@ def main() -> None:
     setup_logging(process_index=jax.process_index())
 
     if args.config:
-        with open(args.config) as f:
-            cfg = Config.from_json(f.read())
+        from tec_mollm_tpu.config import load_config
+
+        cfg = load_config(args.config)
     else:
         # try config.json next to the RESOLVED checkpoint (written by train.py)
         # — resolving first makes the default `--checkpoint latest` pick up the

@@ -183,3 +183,35 @@ class TestCLIPipeline:
         assert rec["metric"] == "train_windows_per_sec_per_chip"
         assert rec["value"] > 0
         assert "vs_baseline" in rec
+
+
+class TestConfigResolution:
+    """--config accepts preset names as well as json paths (round 3)."""
+
+    def test_load_config_preset_and_path(self, tmp_path):
+        from tec_mollm_tpu.config import PRESETS, load_config
+
+        cfg = load_config("long_horizon")
+        assert cfg.train.L_in == 96 and cfg.data.horizon == 24
+        p = tmp_path / "c.json"
+        p.write_text(PRESETS["default"]().to_json())
+        assert load_config(str(p)).train.L_in == 48
+        with pytest.raises(FileNotFoundError):
+            load_config("not_a_preset_or_file")
+
+    def test_train_build_config_overrides(self, monkeypatch, tmp_path):
+        sys.path.insert(0, REPO)
+        import train as train_cli
+
+        monkeypatch.setattr(
+            sys, "argv",
+            ["train.py", "--config", "scale_up", "--val-stride", "4", "--no-remat"],
+        )
+        cfg = train_cli.build_config(train_cli.parse_args())
+        assert cfg.train.L_in == 336
+        assert cfg.train.val_stride == 4
+        assert cfg.train.remat_llm is False  # override wins over preset policy
+
+        monkeypatch.setattr(sys, "argv", ["train.py", "--val-stride", "6"])
+        cfg = train_cli.build_config(train_cli.parse_args())
+        assert cfg.train.val_stride == 6

@@ -31,6 +31,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--L-in", type=int, default=48)
     p.add_argument("--L-out", type=int, default=12)
     p.add_argument("--train-stride", type=int, default=12)
+    p.add_argument("--val-stride", type=int, default=None,
+                   help="validation window stride (default 1, the reference's "
+                        "train.py:289; coarser strides cut per-epoch validation "
+                        "cost on full-scale archives — final test.py eval stays "
+                        "stride 1)")
     # training (reference defaults, train.py:170-198)
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch-size", type=int, default=2, help="microbatch per replica")
@@ -63,7 +68,7 @@ def parse_args() -> argparse.Namespace:
                    help="write a jax.profiler trace of epoch 0 to this directory")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--run-name", default=None)
-    p.add_argument("--config", default=None, help="load full config json")
+    p.add_argument("--config", default=None, help="preset name (default/scale_up/long_horizon/scaled_backbone) or config json path")
     p.add_argument("--gpt2-checkpoint", default=None,
                    help="torch GPT-2/peft state_dict (.pt/.bin) or HF dir to import")
     args = p.parse_args()
@@ -76,18 +81,26 @@ def build_config(args: argparse.Namespace):
     from tec_mollm_tpu.config import Config, ModelConfig, TrainConfig
 
     if args.config:
-        with open(args.config) as f:
-            cfg = Config.from_json(f.read())
+        from tec_mollm_tpu.config import load_config
+
+        cfg = load_config(args.config)
+        overrides = {}
         if args.remat or args.no_remat:
+            overrides["remat_llm"] = args.remat
+        if args.val_stride is not None:
+            overrides["val_stride"] = args.val_stride
+        if overrides:
             import dataclasses
 
             cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(cfg.train, remat_llm=args.remat)
+                cfg, train=dataclasses.replace(cfg.train, **overrides)
             )
         return cfg.resolved()
-    remat_kwargs = {}
+    override_kwargs = {}
     if args.remat or args.no_remat:
-        remat_kwargs["remat_llm"] = args.remat
+        override_kwargs["remat_llm"] = args.remat
+    if args.val_stride is not None:
+        override_kwargs["val_stride"] = args.val_stride
     model = ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers)
     train = TrainConfig(
         L_in=args.L_in,
@@ -103,7 +116,7 @@ def build_config(args: argparse.Namespace):
         seed=args.seed,
         bf16=not args.no_bf16,
         model_parallel=args.model_parallel,
-        **remat_kwargs,
+        **override_kwargs,
     )
     return Config(model=model, train=train).resolved()
 
