@@ -67,7 +67,12 @@ def main() -> None:
     from tec_mollm_tpu.models.tec_mollm import graph_inputs
     from tec_mollm_tpu.training.train_state import create_train_state, make_train_step
 
-    base_cfg = PRESETS[args.preset]()
+    if args.preset == "tiny":
+        from tec_mollm_tpu.config import tiny_config
+
+        base_cfg = tiny_config()
+    else:
+        base_cfg = PRESETS[args.preset]()
     m = base_cfg.model
     lat, lon = grid_coordinates(m.grid_h, m.grid_w)
     graph_np = build_graph(
@@ -85,8 +90,15 @@ def main() -> None:
     )
     ds = SlidingWindowDataset(split, base_cfg.train.L_in, base_cfg.train.L_out)
 
-    runners = {}
+    # Build per-variant SETUP thunks. Variants are NOT co-resident: at
+    # scale_up shapes two train states cannot share one v5e HBM (first attempt
+    # OOMed exactly that way), so each timing round creates the variant's
+    # state, warms one step, times, then frees the state before the next
+    # variant. Interleaving across rounds keeps the ambient-load fairness;
+    # jit executables stay cached in-process so only round 0 pays compiles.
+    setups = {}
     macros = {}
+    failed = set()
     for name in args.variants:
         bsz, accum, remat, policy = VARIANTS[name]
         cfg = dataclasses.replace(
@@ -102,50 +114,60 @@ def main() -> None:
             m, dtype=dtype, remat_llm=remat, remat_policy=policy,
             stencil_shifts=shifts,
         )
-        try:
+        step_fn_box = {}
+
+        def setup(model=model, cfg=cfg, batch_np=batch_np, box=step_fn_box):
             state, tx, _ = create_train_state(
                 model, cfg, jax.random.key(0, impl=cfg.train.prng_impl),
                 batch_np, graph, frozen_dtype=dtype if cfg.train.bf16 else None,
             )
-            step_fn = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
+            if "fn" not in box:
+                box["fn"] = jax.jit(make_train_step(model, cfg, tx), donate_argnums=0)
             batch = jax.tree.map(jnp.asarray, batch_np)
             holder = {"s": state}
 
-            def run(step_fn=step_fn, holder=holder, batch=batch, graph=graph):
-                holder["s"], metrics = step_fn(holder["s"], batch, graph)
+            def run():
+                holder["s"], metrics = box["fn"](holder["s"], batch, graph)
                 return metrics["loss"]
 
-            for _ in range(2):
-                out = run()
-            float(out)
-        except Exception as e:  # noqa: BLE001 — OOM variants report and drop out
-            print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
-            continue
-        runners[name] = run
-        macros[name] = macro
-        print(f"compiled {name} (macro batch {macro})", flush=True)
+            return run
 
-    best = {name: float("inf") for name in runners}
+        setups[name] = setup
+        macros[name] = macro
+
+    best = {name: float("inf") for name in setups}
     for r in range(args.rounds):
-        for name, run in runners.items():
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                out = run()
-            float(out)
-            dt = (time.perf_counter() - t0) / args.steps
-            best[name] = min(best[name], dt)
+        for name, setup in setups.items():
+            if name in failed:
+                continue
+            try:
+                run = setup()
+                out = run()          # warmup (round 0: compile)
+                float(out)
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    out = run()
+                float(out)
+                dt = (time.perf_counter() - t0) / args.steps
+                best[name] = min(best[name], dt)
+                del run              # free this variant's state before the next
+            except Exception as e:  # noqa: BLE001 — OOM/compile failures drop out
+                failed.add(name)
+                print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
+        alive = {k: v for k, v in best.items() if v < float("inf")}
         print(
             json.dumps(
-                {"round": r,
-                 **{k: round(macros[k] / v, 3) for k, v in best.items()}}
+                {"round": r, **{k: round(macros[k] / v, 3) for k, v in alive.items()}}
             ),
             flush=True,
         )
 
+    alive = {k: v for k, v in best.items() if v < float("inf")}
     result = {
         "preset": args.preset,
-        "ms_per_macro_step": {k: round(v * 1e3, 1) for k, v in best.items()},
-        "windows_per_sec": {k: round(macros[k] / v, 3) for k, v in best.items()},
+        "ms_per_macro_step": {k: round(v * 1e3, 1) for k, v in alive.items()},
+        "windows_per_sec": {k: round(macros[k] / v, 3) for k, v in alive.items()},
+        "failed": sorted(failed),
     }
     print(json.dumps(result), flush=True)
 
