@@ -35,6 +35,7 @@ VARIANTS: dict[str, tuple[int, int, bool, str | None]] = {
     "b1a4": (1, 4, False, None),
     "b1a8": (1, 8, False, None),
     "b1a4_dots": (1, 4, True, "dots_saveable"),
+    "b1_noremat": (1, 1, False, None),      # r1 ceiling: 3.37 w/s single-chip
     "b2_noremat": (2, 1, False, None),      # r1: OOMs at scale_up by ~204 MB
     "b4_dots": (4, 1, True, "dots_saveable"),
 }
