@@ -25,8 +25,10 @@ import numpy as np
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=8, help="microbatch per step")
-    parser.add_argument("--accum", type=int, default=1, help="grad accumulation steps")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="microbatch per step (default: the preset's; 8 for default)")
+    parser.add_argument("--accum", type=int, default=None,
+                        help="grad accumulation steps (default: the preset's)")
     parser.add_argument("--steps", type=int, default=20, help="timed optimizer updates")
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--quick", action="store_true", help="tiny model, 3 steps (CI)")
@@ -76,8 +78,13 @@ def main() -> None:
         cfg,
         train=dataclasses.replace(
             cfg.train,
-            batch_size=args.batch_size,
-            accumulation_steps=args.accum,
+            # no flags -> default preset benches the published B=8 x accum 1
+            # throughput config; other presets bench their own tuned policy
+            # (e.g. scale_up ships B=1 x accum 8 no-remat since r3)
+            batch_size=args.batch_size if args.batch_size is not None
+            else (8 if args.preset == "default" else cfg.train.batch_size),
+            accumulation_steps=args.accum if args.accum is not None
+            else (1 if args.preset == "default" else cfg.train.accumulation_steps),
             # respect the preset's remat policy; --no-remat only forces it off
             remat_llm=cfg.train.remat_llm and not args.no_remat,
             bf16=not args.no_bf16,

@@ -205,12 +205,13 @@ class TestConfigResolution:
 
         monkeypatch.setattr(
             sys, "argv",
-            ["train.py", "--config", "scale_up", "--val-stride", "4", "--no-remat"],
+            ["train.py", "--config", "scale_up", "--val-stride", "4", "--remat"],
         )
         cfg = train_cli.build_config(train_cli.parse_args())
         assert cfg.train.L_in == 336
         assert cfg.train.val_stride == 4
-        assert cfg.train.remat_llm is False  # override wins over preset policy
+        # override wins over preset policy (scale_up ships remat OFF since r3)
+        assert cfg.train.remat_llm is True
 
         monkeypatch.setattr(sys, "argv", ["train.py", "--val-stride", "6"])
         cfg = train_cli.build_config(train_cli.parse_args())

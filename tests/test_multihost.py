@@ -63,7 +63,9 @@ def _spawn_workers(data_dir: str, workdir: str, epochs: int, resume: bool = Fals
         )
     outputs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        # ~5 min idle; 3x headroom because a concurrent TPU job's host-side
+        # work has been observed to stretch this past 15 min
+        out, _ = p.communicate(timeout=2700)
         outputs.append(out)
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"

@@ -17,6 +17,10 @@ class TestPresets:
         assert cfg.model.num_patches == 21
         assert cfg.model.llm_layers == 6
         assert cfg.model.head_input_dim == 768 * 21
+        # r3 A/B (BASELINE.md): B=1 x accum 8 no-remat beats B=2 + full remat
+        # by +29.5% at the same effective batch 8/replica
+        assert cfg.train.batch_size * cfg.train.accumulation_steps == 8
+        assert cfg.train.remat_llm is False
 
     def test_long_horizon_derived(self):
         cfg = long_horizon_config()
