@@ -145,6 +145,8 @@ class ForecastService:
         phys = np.clip(np.nan_to_num(phys), 0.0, 200.0)
 
         self._latencies_ms.append(latency_ms)
+        if len(self._latencies_ms) > 10_000:  # bound memory in long-lived servers
+            del self._latencies_ms[:-5_000]
         self._count += 1
         return {
             "indices": idx.tolist(),
