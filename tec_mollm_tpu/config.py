@@ -159,6 +159,13 @@ class TrainConfig:
     model_parallel: int = 1        # tensor-parallel degree over the 'model' mesh axis
     shuffle: bool = True
     log_every_epochs: int = 10     # detailed metric dump cadence (reference train.py:400)
+    # Drain the dispatch pipeline with one scalar host readback every N train/val
+    # batches. On remote/tunneled backends enqueue returns immediately, so an
+    # un-synced epoch pins every staged batch buffer on the host — a 13-year
+    # stride-3 epoch (1,636 batches x ~14 MB) grew the train process to 123 GB
+    # and drew the OOM killer. One readback per 64 batches bounds in-flight
+    # memory at ~1 GB for ~one extra RTT per 64 steps (negligible on-chip).
+    host_sync_every: int = 64
 
 
 @dataclass(frozen=True)

@@ -53,12 +53,23 @@ def construct_target_tensor(tec: np.ndarray, horizon: int = 12) -> np.ndarray:
     return np.ascontiguousarray(windows[:num_targets]).astype(tec.dtype)
 
 
-def extract_time_features(times: np.ndarray) -> np.ndarray:
+def extract_time_features(times: np.ndarray, base_year: int | None = None) -> np.ndarray:
     """(T,) datetime64 -> (T, 4) int32 [tod_slot, doy0, year_index, season]
     (reference feature_engineering.py:69-102).
 
     tod_slot = hour // 2 in [0, 12); doy0 = dayofyear - 1 in [0, 366);
-    year_index = year - min(year); season: DJF=0 MAM=1 JJA=2 SON=3.
+    year_index = year - base_year; season: DJF=0 MAM=1 JJA=2 SON=3.
+
+    `base_year` anchors the year index. The reference computes
+    `year - min(year)` over whatever slice it is handed — and it is handed each
+    SPLIT separately (feature_engineering.py:90-91 inside the per-split loop),
+    so its val (2022-23) and test (2024-25) windows get year indices 0-1,
+    COLLIDING with train's 2013-14 rows. The model then recalls 2013/2014-
+    specific content on 2022+ data (measured at 9-year archive scale: val Huber
+    stuck at ~4x train while the model memorizes — BASELINE.md round 3).
+    build_split_tensors therefore passes the min year of the WHOLE archive so
+    every split indexes the same table rows; base_year=None keeps the
+    per-slice reference behavior for isolated use.
     """
     times = np.asarray(times, dtype="datetime64[s]")
     hours = times.astype("datetime64[h]").astype(np.int64) % 24
@@ -68,7 +79,7 @@ def extract_time_features(times: np.ndarray) -> np.ndarray:
     years = years_d.astype(np.int64) + 1970
     months = times.astype("datetime64[M]").astype(np.int64) % 12 + 1
     tod = hours // 2
-    year_index = years - years.min()
+    year_index = years - (int(years.min()) if base_year is None else base_year)
     season = (months % 12 + 3) // 3 - 1
     return np.stack([tod, doy0, year_index, season], axis=-1).astype(np.int32)
 
@@ -85,11 +96,19 @@ def build_split_tensors(
     data_splits: dict[str, dict[str, np.ndarray]], horizon: int = 12
 ) -> dict[str, dict[str, np.ndarray]]:
     """Split dicts {tec, time, space_weather_indices} -> aligned {X, Y, time_features}."""
+    # one archive-wide base year so train/val/test index the same embedding rows
+    # (the reference's per-split min-year makes val/test collide with the first
+    # train years — see extract_time_features)
+    base_year = min(
+        int(np.asarray(d["time"], dtype="datetime64[Y]").astype(np.int64).min()) + 1970
+        for d in data_splits.values()
+        if len(d["time"])
+    )
     processed: dict[str, dict[str, np.ndarray]] = {}
     for split_name, data in data_splits.items():
         x = construct_feature_tensor(data["tec"], data["space_weather_indices"])
         y = construct_target_tensor(data["tec"], horizon)
-        tf = extract_time_features(data["time"])
+        tf = extract_time_features(data["time"], base_year=base_year)
         num_targets = y.shape[0]
         processed[split_name] = {
             "X": x[:num_targets],

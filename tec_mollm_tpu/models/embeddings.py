@@ -31,8 +31,21 @@ class SpatioTemporalEmbedding(nn.Module):
         init = nn.initializers.normal(stddev=1.0)
 
         def table(name: str, vocab: int) -> nn.Embed:
+            # DELIBERATE deviation (like the GATv2 batching fix, SURVEY §2.d.1):
+            # the year table is the only one evaluated OUTSIDE its training
+            # support — with archive-anchored year indexing (data/features.py),
+            # train years 2013-21 touch rows 0-8 while the reference's own
+            # val/test split (2022+) reads rows 9-12, which under the
+            # reference's N(0,1) init stay pure noise forever (norm ~4, same
+            # as trained rows — measured on a 9-year-trained checkpoint).
+            # Zero init makes an unseen year read the exact "no year
+            # information" vector — which AdamW's weight decay also makes the
+            # shrinkage target — while trained rows learn exactly as before.
+            # tod/doy/season/node are always fully covered by training, so
+            # they keep the reference's init.
+            emb_init = nn.initializers.zeros if name == "year" else init
             return nn.Embed(
-                vocab, cfg.d_emb, embedding_init=init, dtype=self.dtype, name=name
+                vocab, cfg.d_emb, embedding_init=emb_init, dtype=self.dtype, name=name
             )
 
         node_emb = table("node", cfg.num_nodes)(

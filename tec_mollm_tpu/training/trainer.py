@@ -221,6 +221,12 @@ class Trainer:
             # (one tunnel RTT per step on remote backends); read back once below
             device_losses.append(metrics["loss"])
             steps += 1
+            sync_every = self.cfg.train.host_sync_every
+            if sync_every and steps % sync_every == 0:
+                # periodic pipeline drain: without it, every staged batch buffer
+                # of the epoch stays pinned on the host (OOM at archive scale —
+                # see TrainConfig.host_sync_every)
+                float(metrics["loss"])
         total_loss = float(sum(device_losses)) if device_losses else 0.0
         dt = time.perf_counter() - t0
         windows = steps * self.macro_batch
@@ -249,6 +255,9 @@ class Trainer:
             # weighting by the host-local count would be wrong on multihost pods
             loss_terms.append((loss, jnp.sum(valid_dev)))
             acc.update(trues, preds, valid_dev)
+            sync_every = self.cfg.train.host_sync_every
+            if sync_every and len(loss_terms) % sync_every == 0:
+                float(loss)  # bound in-flight staged batches (host_sync_every)
         # stack on device, read back ONCE, reduce in float64 on host — a
         # per-batch float() costs one tunnel RTT each (~30 s/epoch at stride-1
         # full-archive validation)

@@ -123,6 +123,35 @@ class TestFeatures:
         # season: Jan=0 (winter), Dec=0, Jun=2 (summer), Mar=1 (spring)
         np.testing.assert_array_equal(tf[:, 3], [0, 0, 0, 2, 1, 0])
 
+    def test_year_index_consistent_across_splits(self):
+        """Regression for the reference's per-split year indexing
+        (feature_engineering.py:90-91): val 2022 must read year row 9 relative
+        to a 2013 train start — NOT row 0, which holds 2013's content. The
+        collision let the model recall train-year content on val/test data
+        (measured collapse at 9-year archive scale, BASELINE.md round 3)."""
+        def raw_for(start, steps=30):
+            raw = synthetic_raw_data(num_steps=steps, grid_h=3, grid_w=4)
+            raw = dict(raw)
+            raw["time"] = np.datetime64(start, "s") + np.arange(steps) * np.timedelta64(
+                7200, "s"
+            )
+            return raw
+
+        splits = build_split_tensors(
+            {
+                "train": raw_for("2013-01-01T00:00:00"),
+                "val": raw_for("2022-01-01T00:00:00"),
+                "test": raw_for("2024-06-01T00:00:00"),
+            },
+            horizon=12,
+        )
+        assert set(np.unique(splits["train"]["time_features"][:, 2])) == {0}
+        assert set(np.unique(splits["val"]["time_features"][:, 2])) == {9}
+        assert set(np.unique(splits["test"]["time_features"][:, 2])) == {11}
+        # isolated use (no base_year) keeps the reference's per-slice behavior
+        tf = extract_time_features(raw_for("2022-01-01T00:00:00")["time"])
+        assert set(np.unique(tf[:, 2])) == {0}
+
     def test_build_split_tensors_and_scaling(self):
         raw = synthetic_raw_data(num_steps=40, grid_h=3, grid_w=4)
         splits = build_split_tensors({"train": raw}, horizon=12)

@@ -42,6 +42,31 @@ class TestEmbedding:
             out[0, 0, :, cfg.in_features :], expect, rtol=1e-6, atol=1e-5
         )
 
+    def test_year_table_zero_init(self, cfg):
+        """The year table initializes to ZEROS (deliberate deviation from the
+        reference's N(0,1), embeddings.py): the deployment split always reads
+        year rows outside the training support (train <=2021, val/test 2022+
+        under archive-anchored indexing, data/features.py), and an untrained
+        N(0,1) row is pure noise at eval (norm ~4, same as trained rows).
+        Unseen years must read the neutral 'no year information' vector."""
+        b, l, n = 1, 4, cfg.num_nodes
+        x = jnp.zeros((b, l, n, cfg.in_features))
+        tf = jnp.zeros((b, l, 4), dtype=jnp.int32)
+        mod = SpatioTemporalEmbedding(cfg)
+        params = mod.init(jax.random.key(2), x, tf)
+        p = params["params"]
+        np.testing.assert_array_equal(
+            np.asarray(p["year"]["embedding"]), 0.0
+        )
+        # the other tables keep the reference's N(0,1) init
+        for name in ("node", "tod", "doy", "season"):
+            assert np.abs(np.asarray(p[name]["embedding"])).max() > 0.1, name
+        # at init the output is invariant to the year feature — seen or unseen
+        tf_other_year = tf.at[..., 2].set(cfg.num_years - 1)
+        out0 = mod.apply(params, x, tf)
+        out1 = mod.apply(params, x, tf_other_year)
+        np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
     def test_time_feature_indexing(self, cfg):
         """different timesteps pick different temporal embeddings."""
         b, l, n = 1, 4, cfg.num_nodes

@@ -200,6 +200,50 @@ class TestTrainerEndToEnd:
         assert int(trainer2.state.step) > 0
 
 
+class TestHostSyncCadence:
+    """host_sync_every drains the dispatch pipeline mid-epoch (the OOM guard for
+    remote backends, TrainConfig.host_sync_every). The readback must be purely
+    observational: per-epoch losses identical whether it fires every batch,
+    rarely, or never."""
+
+    def test_sync_cadence_does_not_change_training(self, tiny_graph, tmp_path):
+        import dataclasses
+
+        from tec_mollm_tpu.training.trainer import Trainer
+
+        histories = []
+        for sync_every, tag in ((1, "every"), (0, "never")):
+            cfg = tiny_config()
+            cfg = dataclasses.replace(
+                cfg,
+                train=dataclasses.replace(
+                    cfg.train, epochs=2, accumulation_steps=2, batch_size=2,
+                    host_sync_every=sync_every,
+                ),
+            )
+            m = cfg.model
+            split = synthetic_processed_split(
+                num_windows=20, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+                num_nodes=m.num_nodes, seed=3,
+            )
+            train_ds = SlidingWindowDataset(
+                split, cfg.train.L_in, cfg.train.L_out, stride=2
+            )
+            val_ds = SlidingWindowDataset(
+                split, cfg.train.L_in, cfg.train.L_out, stride=4
+            )
+            trainer = Trainer(
+                cfg, train_ds, val_ds, tiny_graph, target_scaler=None,
+                workdir=str(tmp_path / tag), run_name=tag,
+            )
+            histories.append(trainer.fit())
+        every, never = histories
+        assert len(every) == len(never) == 2
+        for he, hn in zip(every, never):
+            assert he["train_loss"] == pytest.approx(hn["train_loss"], rel=1e-6)
+            assert he["val_loss"] == pytest.approx(hn["val_loss"], rel=1e-6)
+
+
 class TestRematPolicies:
     """remat_llm + remat_policy (models/gpt2.REMAT_POLICIES) change memory/
     recompute tradeoffs only — loss and gradients must be bitwise-unaffected
