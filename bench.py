@@ -80,11 +80,16 @@ def main() -> None:
             cfg.train,
             # no flags -> default preset benches the published B=8 x accum 1
             # throughput config; other presets bench their own tuned policy
-            # (e.g. scale_up ships B=1 x accum 8 no-remat since r3)
+            # (e.g. scale_up ships B=1 x accum 8 no-remat since r3). Eval mode
+            # runs one forward over the whole macro batch, so it benches the
+            # config's tuned eval_batch_size x accum 1 instead.
             batch_size=args.batch_size if args.batch_size is not None
-            else (8 if args.preset == "default" else cfg.train.batch_size),
+            else (cfg.train.eval_batch_size if args.eval
+                  else 8 if args.preset == "default"
+                  else cfg.train.batch_size),
             accumulation_steps=args.accum if args.accum is not None
-            else (1 if args.preset == "default" else cfg.train.accumulation_steps),
+            else (1 if args.preset == "default" or args.eval
+                  else cfg.train.accumulation_steps),
             # respect the preset's remat policy; --no-remat only forces it off
             remat_llm=cfg.train.remat_llm and not args.no_remat,
             bf16=not args.no_bf16,

@@ -166,6 +166,11 @@ class TrainConfig:
     # and drew the OOM killer. One readback per 64 batches bounds in-flight
     # memory at ~1 GB for ~one extra RTT per 64 steps (negligible on-chip).
     host_sync_every: int = 64
+    # Default per-replica batch for evaluation CLIs (test.py/predict.py) when
+    # --batch-size is not given. B=16 measured optimal at the flagship config
+    # (157.5 w/s at B=32 < 162.0 at B=16, BASELINE.md); memory-bound presets
+    # override it (scale_up: eval at B=16 exceeds single-chip v5e HBM).
+    eval_batch_size: int = 16
 
 
 @dataclass(frozen=True)
@@ -252,7 +257,7 @@ def scale_up_config() -> Config:
     model = ModelConfig(llm_layers=6)
     train = TrainConfig(
         L_in=336, train_stride=3, batch_size=1, lr=5e-5, accumulation_steps=8,
-        remat_llm=False,
+        remat_llm=False, eval_batch_size=4,
     )
     return Config(model=model, train=train).resolved()
 

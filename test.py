@@ -22,7 +22,9 @@ def main() -> None:
                         "preset workdir otherwise evals whichever run "
                         "finished last)")
     p.add_argument("--output-dir", default="results")
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="per-replica eval batch (default: the config's "
+                        "eval_batch_size — preset-aware, e.g. 4 for scale_up)")
     p.add_argument("--L-in", type=int, default=48)
     p.add_argument("--L-out", type=int, default=12)
     p.add_argument("--d-emb", type=int, default=16)
@@ -83,12 +85,14 @@ def main() -> None:
                 train=TrainConfig(L_in=args.L_in, L_out=args.L_out),
             )
 
+    batch_size = (args.batch_size if args.batch_size is not None
+                  else cfg.train.eval_batch_size)
     run_evaluation(
         cfg.resolved(),
         data_dir=args.data_dir,
         checkpoint=args.checkpoint,
         output_dir=args.output_dir,
-        batch_size=args.batch_size,
+        batch_size=batch_size,
         workdir=args.workdir,
         run_name=args.run_name,
         baselines=tuple(args.baseline),
