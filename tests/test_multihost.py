@@ -62,13 +62,36 @@ def _spawn_workers(data_dir: str, workdir: str, epochs: int, resume: bool = Fals
             )
         )
     outputs = []
-    for p in procs:
-        # ~5 min idle; 3x headroom because a concurrent TPU job's host-side
-        # work has been observed to stretch this past 15 min
-        out, _ = p.communicate(timeout=2700)
-        outputs.append(out)
-    for p, out in zip(procs, outputs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    try:
+        for p in procs:
+            # ~5 min idle; 3x headroom because a concurrent TPU job's
+            # host-side work has been observed to stretch this past 15 min
+            out, _ = p.communicate(timeout=2700)
+            outputs.append(out)
+    except subprocess.TimeoutExpired:
+        # kill BOTH workers (a peer blocked in a collective never exits on
+        # its own), then drain their output — otherwise they leak past the
+        # test session
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        while len(outputs) < len(procs):
+            out, _ = procs[len(outputs)].communicate()
+            outputs.append(out)
+        report = "\n".join(
+            f"--- worker {i} rc={p.returncode} ---\n{(out or '')[-4000:]}"
+            for i, (p, out) in enumerate(zip(procs, outputs))
+        )
+        raise AssertionError(f"worker timeout after 2700s:\n{report}")
+    if any(p.returncode != 0 for p in procs):
+        # A collective abort in one worker surfaces in its PEER as a generic
+        # "connection closed by peer" — always show both outputs, or the
+        # root cause is invisible.
+        report = "\n".join(
+            f"--- worker {i} rc={p.returncode} ---\n{out[-4000:]}"
+            for i, (p, out) in enumerate(zip(procs, outputs))
+        )
+        raise AssertionError(f"worker(s) failed:\n{report}")
     results = []
     for pid in range(2):
         with open(os.path.join(workdir, f"worker_{pid}.json")) as f:
