@@ -258,10 +258,18 @@ class Trainer:
             sync_every = self.cfg.train.host_sync_every
             if sync_every and len(loss_terms) % sync_every == 0:
                 float(loss)  # bound in-flight staged batches (host_sync_every)
-        # stack on device, read back ONCE, reduce in float64 on host — a
-        # per-batch float() costs one tunnel RTT each (~30 s/epoch at stride-1
-        # full-archive validation)
-        if loss_terms:
+        # Single process: stack on device, read back ONCE, reduce in float64 on
+        # host — a per-batch float() costs one tunnel RTT each (~30 s/epoch at
+        # stride-1 full-archive validation). Multi-process: dispatching one more
+        # eager multi-host program on top of ~2N outstanding Gloo collectives
+        # deadlocks XLA:CPU's bounded inflight-computation queue (both workers
+        # observed blocked in apply_primitive at this stack); reduce on host —
+        # the readbacks of replicated scalars are plain D2H transfers, not
+        # programs, and retire the queue in order.
+        if loss_terms and jax.process_count() > 1:
+            total = float(sum(float(l) * float(n) for l, n in loss_terms))
+            count = float(sum(float(n) for _, n in loss_terms))
+        elif loss_terms:
             stacked = np.asarray(
                 jnp.stack([jnp.stack([l, n]) for l, n in loss_terms]),
                 dtype=np.float64,
