@@ -221,7 +221,9 @@ class TestDataParallelEval:
         for key in ("mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg"):
             # abs term: pearson/r2 of a random-init model sit near 0 where
             # cross-device reduction-order noise dominates the relative scale
-            assert m8[key] == pytest.approx(m1[key], rel=1e-5, abs=1e-6), key
+            # (fp32 partial sums land in a different order on 8 vs 1 devices;
+            # observed deviation up to ~2e-6 on pearson_r at |r|~3e-3)
+            assert m8[key] == pytest.approx(m1[key], rel=1e-5, abs=1e-5), key
         np.testing.assert_allclose(
             m8["mae_by_horizon"], m1["mae_by_horizon"], rtol=1e-5
         )
