@@ -90,8 +90,12 @@ def main() -> None:
             accumulation_steps=args.accum if args.accum is not None
             else (1 if args.preset == "default" or args.eval
                   else cfg.train.accumulation_steps),
-            # respect the preset's remat policy; --no-remat only forces it off
-            remat_llm=cfg.train.remat_llm and not args.no_remat,
+            # respect the preset's remat policy; --no-remat forces it off, and
+            # an explicit --remat-policy forces it ON (no shipped preset has
+            # remat_llm=True since the r3 scale_up retune, so the flag would
+            # otherwise silently bench the no-remat config)
+            remat_llm=(cfg.train.remat_llm or args.remat_policy is not None)
+            and not args.no_remat,
             bf16=not args.no_bf16,
         ),
     )

@@ -12,7 +12,6 @@ recent test window) and write inverse-scaled, [0, 200]-clipped TECU forecasts.
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main() -> None:
@@ -39,42 +38,16 @@ def main() -> None:
 
     import jax
 
-    from tec_mollm_tpu.config import Config
     from tec_mollm_tpu.evaluation.harness import run_prediction
     from tec_mollm_tpu.utils.logging import setup_logging
 
     setup_logging(process_index=jax.process_index())
 
-    cfg = None
-    if args.config:
-        from tec_mollm_tpu.config import load_config
+    from tec_mollm_tpu.evaluation.harness import resolve_cli_config
 
-        cfg = load_config(args.config)
-    else:
-        # resolve 'latest' FIRST so the config.json train.py wrote next to the
-        # checkpoint is found for the default invocation too
-        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
-
-        try:
-            resolved = resolve_checkpoint(args.checkpoint, args.workdir, args.run_name)
-        except FileNotFoundError:
-            resolved = None
-        if resolved:
-            candidate = os.path.join(os.path.dirname(resolved), "config.json")
-            if os.path.exists(candidate):
-                with open(candidate) as f:
-                    cfg = Config.from_json(f.read())
-    if cfg is None:
-        # ADVICE r2 #1: a silent flagship-Config fallback made non-flagship
-        # restores fail with an opaque structural error downstream
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "no config.json found next to the checkpoint — falling back to the "
-            "flagship default Config(); restoring a non-flagship checkpoint "
-            "will fail (pass --config <run>/config.json)"
-        )
-        cfg = Config()
+    cfg = resolve_cli_config(
+        args.config, args.checkpoint, args.workdir, args.run_name
+    )
 
     run_prediction(
         cfg.resolved(),

@@ -163,7 +163,12 @@ def main() -> None:
             flush=True,
         )
 
-    alive = {k: v for k, v in best.items() if v < float("inf")}
+    # a variant that failed in ANY round is not reported as a throughput even
+    # if an earlier round succeeded: "it ran once but cannot run reliably" is
+    # exactly the ambiguity an A/B record must not carry
+    alive = {
+        k: v for k, v in best.items() if v < float("inf") and k not in failed
+    }
     result = {
         "preset": args.preset,
         "ms_per_macro_step": {k: round(v * 1e3, 1) for k, v in alive.items()},

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 
 def main() -> None:
@@ -42,31 +41,16 @@ def main() -> None:
 
     import jax
 
-    from tec_mollm_tpu.config import Config
     from tec_mollm_tpu.serving import ForecastService, serve
     from tec_mollm_tpu.utils.logging import setup_logging
 
     setup_logging(process_index=jax.process_index())
 
-    cfg = None
-    if args.config:
-        from tec_mollm_tpu.config import load_config
+    from tec_mollm_tpu.evaluation.harness import resolve_cli_config
 
-        cfg = load_config(args.config)
-    else:
-        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
-
-        try:
-            resolved = resolve_checkpoint(args.checkpoint, args.workdir, args.run_name)
-        except FileNotFoundError:
-            resolved = None
-        if resolved:
-            candidate = os.path.join(os.path.dirname(resolved), "config.json")
-            if os.path.exists(candidate):
-                with open(candidate) as f:
-                    cfg = Config.from_json(f.read())
-    if cfg is None:
-        cfg = Config()
+    cfg = resolve_cli_config(
+        args.config, args.checkpoint, args.workdir, args.run_name
+    )
 
     service = ForecastService(
         cfg, args.data_dir, args.checkpoint,

@@ -133,35 +133,56 @@ class BatchLoader:
         reference train.py:382)."""
         self.epoch = epoch
 
-    def _epoch_indices(self) -> np.ndarray:
+    def _epoch_indices(self) -> tuple[np.ndarray, int]:
+        """Returns (order, pad): this shard's dataset indices plus the count of
+        trailing PADDING entries (repeats of the last real index) appended so
+        every shard has the same length — entries the consumer must mask out."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n)
-        # strided shard per host (order[rank::world], truncated to equal sizes —
-        # DistributedSampler-with-drop_last semantics, reference train.py:309).
-        # Strided (not contiguous) so the UNION of all hosts' batch b equals the
-        # rows a single process would put in macro batch b: per-step losses then
-        # match across process counts up to reduction order (tests/test_multihost.py).
+        # strided shard per host (order[rank::world] — DistributedSampler
+        # semantics, reference train.py:309). Strided (not contiguous) so the
+        # UNION of all hosts' batch b equals the rows a single process would put
+        # in macro batch b: per-step losses then match across process counts up
+        # to reduction order (tests/test_multihost.py).
+        pad = 0
         if self.num_shards > 1:
-            per_shard = n // self.num_shards
-            order = order[self.shard_index :: self.num_shards][:per_shard]
-        return order
+            shard = order[self.shard_index :: self.num_shards]
+            if self.drop_remainder:
+                # training: truncate to equal sizes (drop_last semantics)
+                shard = shard[: n // self.num_shards]
+            else:
+                # eval: no window may be dropped. Pad the short shards to
+                # ceil(n/shards) with repeats of their last index, marked
+                # invalid below, so every process still dispatches the same
+                # number of identically-shaped steps (collective-safe).
+                per_shard = -(-n // self.num_shards)
+                pad = per_shard - len(shard)
+                if pad:
+                    shard = np.concatenate([shard, np.repeat(shard[-1:], pad)])
+            order = shard
+        return order, pad
 
     def __len__(self) -> int:
-        n = len(self._epoch_indices())
+        order, _ = self._epoch_indices()
+        n = len(order)
         if self.drop_remainder:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
     def _batches(self) -> Iterator[dict[str, np.ndarray]]:
-        order = self._epoch_indices()
+        order, shard_pad = self._epoch_indices()
+        # index-level validity: the trailing shard_pad entries are repeats
+        valid_all = np.ones(len(order), dtype=bool)
+        if shard_pad:
+            valid_all[len(order) - shard_pad :] = False
         n_full = len(order) // self.batch_size
         for b in range(n_full):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            batch = self.dataset.gather_batch(idxs)
-            batch["valid"] = np.ones(self.batch_size, dtype=bool)
+            sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+            batch = self.dataset.gather_batch(order[sl])
+            batch["valid"] = valid_all[sl].copy()
             yield batch
         rem = len(order) - n_full * self.batch_size
         if rem and not self.drop_remainder:
@@ -169,7 +190,7 @@ class BatchLoader:
             pad = np.concatenate([idxs, np.repeat(idxs[-1:], self.batch_size - rem)])
             batch = self.dataset.gather_batch(pad)
             valid = np.zeros(self.batch_size, dtype=bool)
-            valid[:rem] = True
+            valid[:rem] = valid_all[n_full * self.batch_size :]
             batch["valid"] = valid
             yield batch
 

@@ -80,6 +80,8 @@ class EvalExecutor:
         self.batch_size = batch_size
         self.batch_sharding = batch_sharding(self.mesh, cfg.train.data_axis)
         rep = replicated_sharding(self.mesh)
+        self.rep = rep
+        self._replicate = None  # built on first run_full use
 
         stencil_shifts, graph_arrays = graph_inputs(graph)
         self.graph_dev = tuple(put_global(a, rep) for a in graph_arrays)
@@ -111,6 +113,9 @@ class EvalExecutor:
         )
 
     def put(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
+        """Loader-path placement: under process_count > 1 `batch` must be THIS
+        process's shard (what self.loader yields), assembled into the global
+        batch across hosts. Caller-assembled full batches go through run_full."""
         import jax
         import jax.numpy as jnp
 
@@ -133,6 +138,39 @@ class EvalExecutor:
         dev = self.put(batch)
         loss, preds, trues = self.eval_step(self.params, dev, self.graph_dev)
         return loss, preds, trues, dev["valid"]
+
+    def run_full(self, batch: dict[str, np.ndarray]):
+        """Run one caller-assembled FULL batch (already padded to a dp multiple,
+        with a 'valid' mask) and return (loss, preds, trues, valid) with preds/
+        trues as host arrays.
+
+        Loader paths feed per-process shards through put(); this path serves
+        CLIs that assemble whole batches themselves (predict.py, serve.py).
+        Under process_count > 1 every process must pass the SAME batch (the
+        SPMD CLI contract: same command, same data on every host); it is placed
+        REPLICATED and the outputs are forced replicated before readback —
+        compute duplicates across the data axis at forecast-request sizes,
+        instead of crashing on a non-addressable sharded-output readback."""
+        import jax
+        import jax.numpy as jnp
+
+        from tec_mollm_tpu.parallel.mesh import put_global
+
+        if self.cfg.train.bf16:
+            batch = dict(batch)
+            batch["x"] = batch["x"].astype(jnp.bfloat16)
+        valid = np.asarray(batch["valid"])
+        if jax.process_count() > 1:
+            dev = {k: put_global(np.asarray(v), self.rep) for k, v in batch.items()}
+            if self._replicate is None:
+                self._replicate = jax.jit(lambda t: t, out_shardings=self.rep)
+            loss, preds, trues = jax.device_get(
+                self._replicate(self.eval_step(self.params, dev, self.graph_dev))
+            )
+            return loss, preds, trues, valid
+        dev = jax.tree.map(lambda x: jax.device_put(x, self.batch_sharding), batch)
+        loss, preds, trues = self.eval_step(self.params, dev, self.graph_dev)
+        return loss, np.asarray(preds), np.asarray(trues), valid
 
 
 def get_model_predictions(
@@ -356,6 +394,47 @@ def resolve_checkpoint(
     return checkpoint
 
 
+def resolve_cli_config(
+    config_path: str | None,
+    checkpoint: str,
+    workdir: str = ".",
+    run_name: str | None = None,
+    fallback: Config | None = None,
+) -> Config:
+    """One config-resolution policy for every eval-side CLI (test.py,
+    predict.py, serve.py — previously three diverging copies):
+
+      1. an explicit --config path wins;
+      2. else the config.json train.py wrote next to the RESOLVED checkpoint
+         (resolving first makes the default `--checkpoint latest` pick up the
+         run's own config, not only explicit paths);
+      3. else WARN and use `fallback` (default: flagship Config()). The
+         warning is load-bearing (ADVICE r2 #1): a silent flagship fallback
+         makes non-flagship restores fail with an opaque structural error.
+    """
+    if config_path:
+        from tec_mollm_tpu.config import load_config
+
+        return load_config(config_path)
+    try:
+        resolved = resolve_checkpoint(checkpoint, workdir, run_name)
+    except FileNotFoundError:
+        resolved = None
+    if resolved:
+        candidate = os.path.join(os.path.dirname(resolved), "config.json")
+        if os.path.exists(candidate):
+            with open(candidate) as f:
+                return Config.from_json(f.read())
+    logger.warning(
+        "no config.json found next to the checkpoint — falling back to %s; "
+        "restoring a checkpoint trained with a different config will fail "
+        "(pass --config <run>/config.json)",
+        "the flagship default Config()" if fallback is None
+        else "the flag-built config",
+    )
+    return Config() if fallback is None else fallback
+
+
 def warn_on_config_mismatch(cfg: Config, checkpoint_path: str) -> bool:
     """Compare the model section of the config in use against the config.json
     train.py wrote next to the checkpoint; warn loudly on disagreement
@@ -549,7 +628,7 @@ def run_prediction(
     batch = ds.gather_batch(idx)
     batch["valid"] = np.ones(len(idx), dtype=bool)
     batch = pad_batch_to_multiple(batch, ex.dp)
-    _, preds, trues, _ = ex.run(batch)
+    _, preds, trues, _ = ex.run_full(batch)
     preds, trues = preds[: len(idx)], trues[: len(idx)]
 
     def to_physical(a: jnp.ndarray, what: str) -> np.ndarray:

@@ -315,6 +315,12 @@ class GPT2Backbone(nn.Module):
 
         block_cls = GPT2Block
         if self.remat:
+            if self.remat_policy not in REMAT_POLICIES:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}; valid values: "
+                    f"{sorted(k for k in REMAT_POLICIES if k is not None)} "
+                    "(or None, meaning full remat)"
+                )
             block_cls = nn.remat(
                 GPT2Block,
                 static_argnums=(2,),

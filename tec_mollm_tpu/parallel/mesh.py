@@ -93,13 +93,15 @@ def shard_batch(batch: dict[str, Any], mesh: Mesh, data_axis: str = "data") -> d
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
-def pad_batch_to_multiple(batch: dict[str, Any], multiple: int) -> dict[str, Any]:
-    """Pad the leading dim so it divides the data axis; padded rows get valid=False."""
+def pad_batch_to_size(batch: dict[str, Any], size: int) -> dict[str, Any]:
+    """Pad the leading dim to exactly `size` rows (repeating the last row);
+    padded rows get valid=False."""
     b = next(iter(batch.values())).shape[0]
-    rem = b % multiple
-    if rem == 0:
+    if b > size:
+        raise ValueError(f"batch of {b} rows cannot pad down to {size}")
+    if b == size:
         return batch
-    pad = multiple - rem
+    pad = size - b
     out = {}
     for k, v in batch.items():
         pad_block = np.repeat(v[-1:], pad, axis=0)
@@ -107,7 +109,13 @@ def pad_batch_to_multiple(batch: dict[str, Any], multiple: int) -> dict[str, Any
     if "valid" in out:
         out["valid"][-pad:] = False
     else:
-        valid = np.ones(b + pad, dtype=bool)
+        valid = np.ones(size, dtype=bool)
         valid[-pad:] = False
         out["valid"] = valid
     return out
+
+
+def pad_batch_to_multiple(batch: dict[str, Any], multiple: int) -> dict[str, Any]:
+    """Pad the leading dim up to the next multiple; padded rows get valid=False."""
+    b = next(iter(batch.values())).shape[0]
+    return pad_batch_to_size(batch, -(-b // multiple) * multiple)

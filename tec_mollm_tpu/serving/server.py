@@ -102,22 +102,14 @@ class ForecastService:
     # ------------------------------------------------------------------
 
     def _run_padded(self, batch: dict[str, np.ndarray], n: int) -> np.ndarray:
-        """Pad to max_batch, run the warm eval step, return (n, L_out, N, 1)."""
-        from tec_mollm_tpu.parallel.mesh import pad_batch_to_multiple
+        """Pad to max_batch (one warm jit shape), run, return (n, L_out, N, 1)."""
+        from tec_mollm_tpu.parallel.mesh import pad_batch_to_size
 
         batch = dict(batch)
         batch["valid"] = np.ones(n, dtype=bool)
-        pad = self.max_batch - n
-        if pad:
-            padded = {}
-            for k, v in batch.items():
-                padded[k] = np.concatenate(
-                    [v, np.repeat(v[-1:], pad, axis=0)], axis=0
-                )
-            padded["valid"][-pad:] = False
-            batch = padded
-        batch = pad_batch_to_multiple(batch, self.ex.dp)
-        _, preds, _, _ = self.ex.run(batch)
+        # max_batch already tiles the data axis (EvalExecutor rounds it up)
+        batch = pad_batch_to_size(batch, self.max_batch)
+        _, preds, _, _ = self.ex.run_full(batch)
         return np.asarray(preds)[:n]
 
     def forecast(self, indices: list[int], split: str = "test") -> dict[str, Any]:

@@ -8,7 +8,6 @@ Replaces /root/reference/test.py. Examples:
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main() -> None:
@@ -59,31 +58,15 @@ def main() -> None:
 
     setup_logging(process_index=jax.process_index())
 
-    if args.config:
-        from tec_mollm_tpu.config import load_config
+    from tec_mollm_tpu.evaluation.harness import resolve_cli_config
 
-        cfg = load_config(args.config)
-    else:
-        # try config.json next to the RESOLVED checkpoint (written by train.py)
-        # — resolving first makes the default `--checkpoint latest` pick up the
-        # run's config too, not only explicit paths
-        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
-
-        cfg = None
-        try:
-            resolved = resolve_checkpoint(args.checkpoint, args.workdir, args.run_name)
-        except FileNotFoundError:
-            resolved = None
-        if resolved:
-            candidate = os.path.join(os.path.dirname(resolved), "config.json")
-            if os.path.exists(candidate):
-                with open(candidate) as f:
-                    cfg = Config.from_json(f.read())
-        if cfg is None:
-            cfg = Config(
-                model=ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers),
-                train=TrainConfig(L_in=args.L_in, L_out=args.L_out),
-            )
+    cfg = resolve_cli_config(
+        args.config, args.checkpoint, args.workdir, args.run_name,
+        fallback=Config(
+            model=ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers),
+            train=TrainConfig(L_in=args.L_in, L_out=args.L_out),
+        ),
+    )
 
     batch_size = (args.batch_size if args.batch_size is not None
                   else cfg.train.eval_batch_size)

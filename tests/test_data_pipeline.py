@@ -246,6 +246,41 @@ class TestSlidingWindow:
         assert batches[-1]["x"].shape[0] == 8
         assert batches[-1]["valid"].sum() == 21 - 16
 
+    def test_eval_sharding_drops_no_window(self):
+        # 21 windows over 2 shards: 11 + 10. Eval sharding (drop_remainder=
+        # False) must cover EVERY window exactly once across shards — the old
+        # truncation to n//shards dropped the last n % shards windows on a
+        # multi-host pod — while both shards still produce the same number of
+        # identically-shaped batches (collective-safe dispatch).
+        data = self._make(T=40)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)  # 21 windows
+        shards = [
+            BatchLoader(
+                ds, batch_size=4, drop_remainder=False,
+                num_shards=2, shard_index=i, prefetch=0,
+            )
+            for i in range(2)
+        ]
+        assert len(shards[0]) == len(shards[1]) == 3  # ceil(ceil(21/2)/4)
+        seen = []
+        for ld in shards:
+            batches = list(ld)
+            assert len(batches) == 3
+            for b in batches:
+                assert b["x"].shape[0] == 4
+                seen.extend(b["x"][b["valid"], 0, 0, 0].tolist())
+        # window starts are distinct in x[:,0,0,0] for this fixture
+        all_starts = np.sort(np.asarray(seen))
+        expected = np.sort(
+            np.concatenate(
+                [b["x"][b["valid"], 0, 0, 0]
+                 for b in BatchLoader(ds, batch_size=4, drop_remainder=False,
+                                      prefetch=0)]
+            )
+        )
+        assert len(all_starts) == 21
+        np.testing.assert_array_equal(all_starts, expected)
+
 
 class TestConfig:
     def test_derived_fields(self):

@@ -278,7 +278,7 @@ class TestRematPolicies:
         cfg, _, ds, graph, state, _, _ = train_setup
         batch = jax.tree.map(jnp.asarray, ds.gather_batch(np.arange(2)))
         model = TECMoLLM(cfg.model, remat_llm=True, remat_policy="nope")
-        with pytest.raises(KeyError):
+        with pytest.raises(ValueError, match="unknown remat_policy"):
             model.apply(
                 {"params": state.params}, batch["x"], batch["time_features"],
                 graph[0], graph[1],
