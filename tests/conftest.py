@@ -9,7 +9,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # N virtual devices on few (sometimes 1) physical cores: a device thread can
+    # starve past XLA's default 40 s rendezvous deadline under load, which is a
+    # hard process abort. Starvation here is congestion, not deadlock — wait.
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
 # The axon environment registers the TPU plugin from sitecustomize.py, which imports

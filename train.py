@@ -28,28 +28,33 @@ def parse_args() -> argparse.Namespace:
     # data
     p.add_argument("--data-dir", default="data/processed")
     p.add_argument("--workdir", default=".")
-    p.add_argument("--L-in", type=int, default=48)
-    p.add_argument("--L-out", type=int, default=12)
-    p.add_argument("--train-stride", type=int, default=12)
+    # Flag defaults are None sentinels: an UNSET flag falls back to the config's
+    # value (the dataclass default, or the --config/preset file's), while a SET
+    # flag always wins — `--config scale_up --epochs 5` must not silently run
+    # the preset's epoch count. Reference defaults: train.py:170-198.
+    p.add_argument("--L-in", type=int, default=None, help="default 48")
+    p.add_argument("--L-out", type=int, default=None, help="default 12")
+    p.add_argument("--train-stride", type=int, default=None, help="default 12")
     p.add_argument("--val-stride", type=int, default=None,
                    help="validation window stride (default 1, the reference's "
                         "train.py:289; coarser strides cut per-epoch validation "
                         "cost on full-scale archives — final test.py eval stays "
                         "stride 1)")
     # training (reference defaults, train.py:170-198)
-    p.add_argument("--epochs", type=int, default=50)
-    p.add_argument("--batch-size", type=int, default=2, help="microbatch per replica")
-    p.add_argument("--accumulation-steps", type=int, default=6)
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--weight-decay", type=float, default=1e-2)
-    p.add_argument("--patience", type=int, default=20)
-    p.add_argument("--min-delta", type=float, default=1e-4)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=None, help="default 50")
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="microbatch per replica (default 2)")
+    p.add_argument("--accumulation-steps", type=int, default=None, help="default 6")
+    p.add_argument("--lr", type=float, default=None, help="default 1e-4")
+    p.add_argument("--weight-decay", type=float, default=None, help="default 1e-2")
+    p.add_argument("--patience", type=int, default=None, help="default 20")
+    p.add_argument("--min-delta", type=float, default=None, help="default 1e-4")
+    p.add_argument("--seed", type=int, default=None, help="default 0")
     # model
-    p.add_argument("--d-emb", type=int, default=16)
-    p.add_argument("--llm-layers", type=int, default=3)
+    p.add_argument("--d-emb", type=int, default=None, help="default 16")
+    p.add_argument("--llm-layers", type=int, default=None, help="default 3")
     # parallel / precision
-    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--model-parallel", type=int, default=None, help="default 1")
     p.add_argument("--no-bf16", action="store_true")
     # tri-state remat: default follows the config default (off at the default
     # config per the settled A/B — a plain `python train.py` must not silently pay
@@ -78,47 +83,53 @@ def parse_args() -> argparse.Namespace:
 
 
 def build_config(args: argparse.Namespace):
+    import dataclasses
+
     from tec_mollm_tpu.config import Config, ModelConfig, TrainConfig
+
+    # every flag the user actually passed, as dataclass-field overrides
+    train_over = {
+        k: v
+        for k, v in {
+            "L_in": args.L_in,
+            "L_out": args.L_out,
+            "train_stride": args.train_stride,
+            "val_stride": args.val_stride,
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "accumulation_steps": args.accumulation_steps,
+            "lr": args.lr,
+            "weight_decay": args.weight_decay,
+            "patience": args.patience,
+            "min_delta": args.min_delta,
+            "seed": args.seed,
+            "model_parallel": args.model_parallel,
+        }.items()
+        if v is not None
+    }
+    if args.remat or args.no_remat:
+        train_over["remat_llm"] = args.remat
+    if args.no_bf16:
+        train_over["bf16"] = False
+    model_over = {
+        k: v
+        for k, v in {"d_emb": args.d_emb, "llm_layers": args.llm_layers}.items()
+        if v is not None
+    }
 
     if args.config:
         from tec_mollm_tpu.config import load_config
 
         cfg = load_config(args.config)
-        overrides = {}
-        if args.remat or args.no_remat:
-            overrides["remat_llm"] = args.remat
-        if args.val_stride is not None:
-            overrides["val_stride"] = args.val_stride
-        if overrides:
-            import dataclasses
-
-            cfg = dataclasses.replace(
-                cfg, train=dataclasses.replace(cfg.train, **overrides)
-            )
-        return cfg.resolved()
-    override_kwargs = {}
-    if args.remat or args.no_remat:
-        override_kwargs["remat_llm"] = args.remat
-    if args.val_stride is not None:
-        override_kwargs["val_stride"] = args.val_stride
-    model = ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers)
-    train = TrainConfig(
-        L_in=args.L_in,
-        L_out=args.L_out,
-        epochs=args.epochs,
-        batch_size=args.batch_size,
-        accumulation_steps=args.accumulation_steps,
-        lr=args.lr,
-        weight_decay=args.weight_decay,
-        patience=args.patience,
-        min_delta=args.min_delta,
-        train_stride=args.train_stride,
-        seed=args.seed,
-        bf16=not args.no_bf16,
-        model_parallel=args.model_parallel,
-        **override_kwargs,
-    )
-    return Config(model=model, train=train).resolved()
+    else:
+        cfg = Config(model=ModelConfig(), train=TrainConfig())
+    if train_over or model_over:
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, **model_over),
+            train=dataclasses.replace(cfg.train, **train_over),
+        )
+    return cfg.resolved()
 
 
 def main() -> None:
@@ -167,6 +178,13 @@ def main() -> None:
         cfg, train_ds, val_ds, graph, target_scaler,
         workdir=args.workdir, run_name=args.run_name,
     )
+    # persist the exact config used alongside the checkpoints BEFORE training:
+    # a run interrupted mid-epoch (SIGTERM, crash, preemption) must still leave
+    # eval CLIs able to reconstruct the model (resolve_cli_config reads this) —
+    # primary process only, like every other checkpoint-dir write
+    if jax.process_index() == 0:
+        with open(os.path.join(trainer.ckpt.dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
 
     if args.gpt2_checkpoint:
         from tec_mollm_tpu.models.hf_import import (
@@ -195,9 +213,6 @@ def main() -> None:
         logger.info(
             "finished: epoch %d best_val %.6f", last["epoch"], trainer.best_val_loss
         )
-    # persist the exact config used alongside checkpoints (single source of truth)
-    with open(os.path.join(trainer.ckpt.dir, "config.json"), "w") as f:
-        f.write(cfg.to_json())
 
 
 if __name__ == "__main__":
