@@ -648,9 +648,14 @@ def run_prediction(
     forecast = np.clip(to_physical(preds, "model predictions"), 0.0, 200.0)
     truth = to_physical(trues, "target values")
 
-    os.makedirs(output_dir, exist_ok=True)
     out_path = os.path.join(output_dir, "forecast.npz")
-    np.savez(out_path, indices=idx, forecast=forecast, truth=truth)
+    # run_full returns identical replicated outputs on every process; only the
+    # primary writes the artifact (same contract as run_evaluation/Trainer)
+    import jax
+
+    if jax.process_index() == 0:
+        os.makedirs(output_dir, exist_ok=True)
+        np.savez(out_path, indices=idx, forecast=forecast, truth=truth)
     mae = float(np.abs(forecast - truth).mean())
     logger.info(
         "forecast %d window(s) of split '%s' -> %s (MAE vs observed: %.4f TECU)",
@@ -710,8 +715,13 @@ def run_evaluation(
             season=sarima_season,
         )
     improvements = improvement_report(results["TEC-MoLLM"], results["HistoricalAverage"])
-    csv_path, txt_path = write_results(results, improvements, output_dir)
-    logger.info("results: %s, %s", csv_path, txt_path)
+    # metrics are global (computed from the same sharded reduction on every
+    # process); only the primary writes artifacts, like the Trainer
+    import jax
+
+    if jax.process_index() == 0:
+        csv_path, txt_path = write_results(results, improvements, output_dir)
+        logger.info("results: %s, %s", csv_path, txt_path)
     for name, m in results.items():
         logger.info(
             "%s: MAE %.4f RMSE %.4f R2 %.4f r %.4f",

@@ -46,6 +46,10 @@ def main() -> None:
     p.add_argument("--workdir", required=True)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--post-eval", action="store_true",
+                   help="after fit, drive run_evaluation + run_prediction "
+                        "(the test.py/predict.py code paths) under this "
+                        "multi-process topology and record their outputs")
     args = p.parse_args()
 
     jax.distributed.initialize(
@@ -101,6 +105,34 @@ def main() -> None:
         "best_val_loss": trainer.best_val_loss,
         "final_epoch": trainer.epoch,
     }
+
+    if args.post_eval:
+        # Drive the eval-side entry points (what test.py / predict.py call)
+        # under process_count > 1: the sharded loader path with padded eval
+        # shards (run_evaluation -> EvalExecutor.put) and the replicated
+        # full-batch path (run_prediction -> EvalExecutor.run_full). Every
+        # process must compute identical global metrics/forecasts.
+        import numpy as np
+
+        from tec_mollm_tpu.evaluation.harness import run_evaluation, run_prediction
+
+        ckpt = os.path.join(args.workdir, "checkpoints", "mh_run", "best_params")
+        ev = run_evaluation(
+            cfg, args.data_dir, ckpt,
+            output_dir=os.path.join(args.workdir, "results"),
+            batch_size=4, workdir=args.workdir,
+        )
+        pred = run_prediction(
+            cfg, args.data_dir, ckpt, indices=[0, 3, 5],
+            output_dir=os.path.join(args.workdir, "results"),
+            workdir=args.workdir,
+        )
+        out["eval_model"] = {
+            k: ev["results"]["TEC-MoLLM"][k]
+            for k in ("mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg")
+        }
+        out["pred_mae"] = pred["mae"]
+        out["pred_sum"] = float(np.abs(np.asarray(pred["forecast"])).sum())
     with open(os.path.join(args.workdir, f"worker_{args.process_id}.json"), "w") as f:
         json.dump(out, f)
 

@@ -36,7 +36,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn_workers(data_dir: str, workdir: str, epochs: int, resume: bool = False):
+def _spawn_workers(
+    data_dir: str, workdir: str, epochs: int,
+    resume: bool = False, post_eval: bool = False,
+):
     port = _free_port()
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -55,6 +58,8 @@ def _spawn_workers(data_dir: str, workdir: str, epochs: int, resume: bool = Fals
         ]
         if resume:
             args.append("--resume")
+        if post_eval:
+            args.append("--post-eval")
         procs.append(
             subprocess.Popen(
                 args, env=env, cwd=REPO,
@@ -113,6 +118,23 @@ def data_dir(tmp_path_factory):
     return str(d)
 
 
+def results_cfg():
+    """The workers' exact eval config: tiny, dropout-free (dropout masks are
+    drawn by position in the global batch, which permutes across process
+    counts — eval is deterministic anyway, but keep the configs identical)."""
+    from tec_mollm_tpu.config import tiny_config
+
+    cfg = tiny_config()
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            gat_dropout=0.0, lora_dropout=0.0, llm_dropout=0.0,
+            head_dropout=0.0, post_llm_dropout=0.0,
+        ),
+    )
+
+
 def _single_process_history(data_dir: str, workdir: str, epochs: int):
     """The same config on a single-process 4-device mesh (matching the
     workers' global topology)."""
@@ -160,7 +182,7 @@ class TestTwoProcessTraining:
         os.makedirs(mh_dir)
         os.makedirs(sp_dir)
 
-        results = _spawn_workers(data_dir, mh_dir, epochs=2)
+        results = _spawn_workers(data_dir, mh_dir, epochs=2, post_eval=True)
         sp_history = _single_process_history(data_dir, sp_dir, epochs=2)
 
         # rank 0 recorded the history; rank 1 must agree on the val trajectory
@@ -178,6 +200,41 @@ class TestTwoProcessTraining:
             assert mh["train_loss"] == pytest.approx(sp["train_loss"], rel=2e-4)
             assert mh["val_loss"] == pytest.approx(sp["val_loss"], rel=2e-4)
             assert mh["mae_avg"] == pytest.approx(sp["mae_avg"], rel=2e-3)
+
+        # eval-side entry points under process_count=2 (test.py / predict.py
+        # code paths): both processes computed identical global metrics via the
+        # padded-shard loader (no window dropped, no truncation skew) and
+        # identical replicated forecasts via run_full
+        for key in ("mae_avg", "rmse_avg", "r2_score_avg", "pearson_r_avg"):
+            assert results[0]["eval_model"][key] == pytest.approx(
+                results[1]["eval_model"][key], rel=1e-9
+            )
+        assert results[0]["pred_sum"] == pytest.approx(
+            results[1]["pred_sum"], rel=1e-9
+        )
+        assert np.isfinite(results[0]["pred_mae"])
+
+        # and the 2-process test-split metrics match a single-process
+        # run_evaluation of the SAME checkpoint (1 vs N process parity; fp
+        # reduction order differs across topologies)
+        from tec_mollm_tpu.evaluation.harness import run_evaluation
+
+        sp_eval = run_evaluation(
+            results_cfg(), data_dir,
+            os.path.join(mh_dir, "checkpoints", "mh_run", "best_params"),
+            output_dir=os.path.join(sp_dir, "results"),
+            batch_size=4, workdir=sp_dir,
+        )["results"]["TEC-MoLLM"]
+        for key in ("mae_avg", "rmse_avg"):
+            assert results[0]["eval_model"][key] == pytest.approx(
+                sp_eval[key], rel=2e-4
+            )
+
+        # primary wrote the artifacts exactly once
+        assert os.path.exists(
+            os.path.join(mh_dir, "results", "evaluation_results.csv")
+        )
+        assert os.path.exists(os.path.join(mh_dir, "results", "forecast.npz"))
 
         # collective checkpoint artifacts exist and are loadable
         ckpt_root = os.path.join(mh_dir, "checkpoints", "mh_run")
