@@ -141,6 +141,7 @@ def main() -> None:
         for name, setup in setups.items():
             if name in failed:
                 continue
+            run = None
             try:
                 run = setup()
                 out = run()          # warmup (round 0: compile)
@@ -151,10 +152,14 @@ def main() -> None:
                 float(out)
                 dt = (time.perf_counter() - t0) / args.steps
                 best[name] = min(best[name], dt)
-                del run              # free this variant's state before the next
             except Exception as e:  # noqa: BLE001 — OOM/compile failures drop out
                 failed.add(name)
                 print(json.dumps({"variant": name, "error": str(e)[:200]}), flush=True)
+            finally:
+                # drop the closure (and the train state it holds) even on
+                # failure — a leaked state co-resident with the NEXT variant's
+                # is exactly the OOM this one-at-a-time loop exists to avoid
+                del run
         alive = {k: v for k, v in best.items() if v < float("inf")}
         print(
             json.dumps(

@@ -161,7 +161,11 @@ class BatchLoader:
                 per_shard = -(-n // self.num_shards)
                 pad = per_shard - len(shard)
                 if pad:
-                    shard = np.concatenate([shard, np.repeat(shard[-1:], pad)])
+                    # an EMPTY shard (more shards than windows) borrows an
+                    # index from the full order — it still has to dispatch the
+                    # same fully-masked steps as its peers
+                    fill = shard[-1:] if len(shard) else order[-1:]
+                    shard = np.concatenate([shard, np.repeat(fill, pad)])
             order = shard
         return order, pad
 

@@ -11,8 +11,10 @@ process that
     contract's [0, 200] clip,
 
 with stdlib http.server only (no framework dependencies). The device work
-reuses the same data-parallel EvalExecutor as test.py, so a pod serves
-batch requests across all chips.
+reuses the same data-parallel EvalExecutor as test.py, so one server spans
+all of its host's chips. Single-process by contract: request-driven dispatch
+cannot satisfy a multi-process SPMD mesh (peers never see the request), so
+multi-host pods run one server per host (enforced in __init__).
 
 API:
   GET  /healthz            -> {"status": "ok", ...model/config summary}
@@ -61,6 +63,19 @@ class ForecastService:
             resolve_checkpoint,
             warn_on_config_mismatch,
         )
+        import jax
+
+        if jax.process_count() > 1:
+            # an HTTP request arrives on ONE host; its run_full would dispatch
+            # a global SPMD program the other processes never enter -> the pod
+            # wedges on the first request. Serving is single-controller: one
+            # process drives all its local chips (the data axis still spans
+            # them); scale out with one server per host behind a balancer.
+            raise RuntimeError(
+                f"serve.py is single-process (process_count="
+                f"{jax.process_count()}): request-driven dispatch cannot "
+                "satisfy a multi-process SPMD mesh. Run one server per host."
+            )
 
         self.cfg = cfg = cfg.resolved()
         self.datasets = {

@@ -110,9 +110,10 @@ class Trainer:
         )
         # validation is sharded per process exactly like training (ADVICE r1:
         # an unsharded val loader + make_array_from_process_local_data treats each
-        # host's FULL batch as a local shard on multihost pods). BatchLoader
-        # truncates shards to equal sizes, keeping hosts in lockstep for the
-        # collective eval steps.
+        # host's FULL batch as a local shard on multihost pods). With
+        # drop_remainder=False the BatchLoader PADS short shards with masked
+        # repeats (never drops a window), so hosts stay in lockstep for the
+        # collective eval steps while every val window is scored exactly once.
         val_global_batch = max(cfg.train.batch_size * self.dp, self.dp)
         self.val_loader = (
             BatchLoader(

@@ -25,9 +25,13 @@ import sys
 # 2 local CPU devices per process BEFORE jax import (conftest-style)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=2"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=2").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # same congestion hardening as tests/conftest.py — two worker processes
+    # plus the pytest process oversubscribe the box's cores, and a starved
+    # device thread past the default 40s rendezvous deadline is a hard abort
+    flags = (flags + " --xla_cpu_collective_call_terminate_timeout_seconds=600").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["PALLAS_AXON_POOL_IPS"] = ""  # keep off any TPU tunnel
 
 import jax

@@ -147,6 +147,32 @@ class TestCLIPipeline:
             n = cfg.model.grid_h * cfg.model.grid_w
             assert d["forecast"].shape == (1, cfg.train.L_out, n)
 
+    def test_failed_resume_preserves_config_record(self, workdir):
+        """A resume launched with the WRONG flags must fail without clobbering
+        the existing checkpoint's config.json (review finding: the pre-training
+        config write used to run before the restore proved compatibility, so a
+        crashed wrong-flag resume left an unloadable config next to a still-
+        valid checkpoint)."""
+        wd, cfg = workdir
+        config_path = wd / "checkpoints" / "clitest" / "config.json"
+        original = config_path.read_text()
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "train.py"),
+                "--config", "config.json", "--llm-layers", "1",  # ckpt has 2
+                "--data-dir", "proc", "--workdir", ".",
+                "--run-name", "clitest", "--resume", "--cpu",
+            ],
+            cwd=str(wd), env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode != 0, "wrong-flag resume unexpectedly succeeded"
+        assert "config" in (proc.stderr + proc.stdout).lower()
+        assert config_path.read_text() == original
+
     def test_preprocess_from_hdf5_files(self, tmp_path):
         """The real-data path: CRIM-layout HDF5 files -> processed npz splits."""
         from tec_mollm_tpu.data.synthetic import write_synthetic_hdf5

@@ -281,6 +281,29 @@ class TestSlidingWindow:
         assert len(all_starts) == 21
         np.testing.assert_array_equal(all_starts, expected)
 
+    def test_eval_sharding_more_shards_than_windows(self):
+        # 3 windows over 4 shards: the EMPTY shard must still dispatch the same
+        # number of identically-shaped (fully masked) batches as its peers —
+        # a shard that yields fewer steps deadlocks the others' collectives.
+        data = self._make(T=22)
+        ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)  # 3 windows
+        shards = [
+            BatchLoader(
+                ds, batch_size=2, drop_remainder=False,
+                num_shards=4, shard_index=i, prefetch=0,
+            )
+            for i in range(4)
+        ]
+        valid_counts = []
+        for ld in shards:
+            assert len(ld) == 1
+            batches = list(ld)
+            assert len(batches) == 1
+            assert batches[0]["x"].shape[0] == 2
+            valid_counts.append(int(batches[0]["valid"].sum()))
+        assert sum(valid_counts) == 3       # every window scored exactly once
+        assert valid_counts[3] == 0         # the empty shard is fully masked
+
 
 class TestConfig:
     def test_derived_fields(self):

@@ -181,9 +181,13 @@ def main() -> None:
     # persist the exact config used alongside the checkpoints BEFORE training:
     # a run interrupted mid-epoch (SIGTERM, crash, preemption) must still leave
     # eval CLIs able to reconstruct the model (resolve_cli_config reads this) —
-    # primary process only, like every other checkpoint-dir write
-    if jax.process_index() == 0:
-        with open(os.path.join(trainer.ckpt.dir, "config.json"), "w") as f:
+    # primary process only, like every other checkpoint-dir write. EXCEPT on
+    # resume: a resume launched with the wrong flags must not clobber the valid
+    # config record of the existing checkpoint before the restore has proven
+    # the configs compatible (fit() re-writes it after a successful restore).
+    config_path = os.path.join(trainer.ckpt.dir, "config.json")
+    if jax.process_index() == 0 and not (args.resume and os.path.exists(config_path)):
+        with open(config_path, "w") as f:
             f.write(cfg.to_json())
 
     if args.gpt2_checkpoint:
@@ -208,6 +212,11 @@ def main() -> None:
         logger.info("profiler trace written to %s", args.profile_dir)
 
     history = trainer.fit(resume=args.resume)
+    if args.resume and jax.process_index() == 0:
+        # the restore succeeded (fit returned), so the resumed flags are
+        # proven compatible — NOW they become the run's config of record
+        with open(config_path, "w") as f:
+            f.write(cfg.to_json())
     if history:
         last = history[-1]
         logger.info(
