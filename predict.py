@@ -45,14 +45,14 @@ def main() -> None:
 
     from tec_mollm_tpu.evaluation.harness import resolve_cli_config
 
-    cfg = resolve_cli_config(
+    cfg, checkpoint = resolve_cli_config(
         args.config, args.checkpoint, args.workdir, args.run_name
     )
 
     run_prediction(
         cfg.resolved(),
         data_dir=args.data_dir,
-        checkpoint=args.checkpoint,
+        checkpoint=checkpoint,
         split=args.split,
         indices=args.indices,
         output_dir=args.output_dir,

@@ -160,7 +160,12 @@ def main() -> None:
                 # failure — a leaked state co-resident with the NEXT variant's
                 # is exactly the OOM this one-at-a-time loop exists to avoid
                 del run
-        alive = {k: v for k, v in best.items() if v < float("inf")}
+        # the per-round progress line follows the same policy as the final
+        # report: a variant that has failed reports no throughput, even from
+        # an earlier successful round
+        alive = {
+            k: v for k, v in best.items() if v < float("inf") and k not in failed
+        }
         print(
             json.dumps(
                 {"round": r, **{k: round(macros[k] / v, 3) for k, v in alive.items()}}

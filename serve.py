@@ -48,12 +48,12 @@ def main() -> None:
 
     from tec_mollm_tpu.evaluation.harness import resolve_cli_config
 
-    cfg = resolve_cli_config(
+    cfg, checkpoint = resolve_cli_config(
         args.config, args.checkpoint, args.workdir, args.run_name
     )
 
     service = ForecastService(
-        cfg, args.data_dir, args.checkpoint,
+        cfg, args.data_dir, checkpoint,
         workdir=args.workdir, run_name=args.run_name,
         max_batch=args.max_batch, splits=tuple(args.splits),
     )

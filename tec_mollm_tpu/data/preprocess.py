@@ -110,6 +110,15 @@ def run_preprocess(
         test_n = min(t - int(t * 0.6) - int(t * 0.25), test_cap)
         train_n = t - val_n - test_n
         if train_n > train_cap:
+            # train overflow spills into whatever test/val capacity the 15%/25%
+            # formulas left unused, so every t up to the advertised archive
+            # maximum is actually accepted
+            spill = train_n - train_cap
+            to_test = min(spill, test_cap - test_n)
+            test_n += to_test
+            val_n += min(spill - to_test, val_cap - val_n)
+            train_n = t - val_n - test_n
+        if train_n > train_cap:
             raise ValueError(
                 f"--synthetic {t} exceeds the 2013-2025 archive capacity "
                 f"(max {train_cap + val_cap + test_cap} steps at 2-h cadence)"

@@ -181,16 +181,28 @@ def get_model_predictions(
     batch_size: int = 16,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Run inference over the whole dataset -> (y_true, y_pred), each
-    (num_samples, L_out, N, 1) in scaled units. Materializes predictions on the
-    host — prefer evaluate_model_streaming for metrics-only evaluation."""
+    (num_samples, L_out, N, 1) in scaled units — the reference's
+    get_tec_mollm_predictions surface (test.py:19-44). Materializes predictions
+    on the host — prefer evaluate_model_streaming for metrics-only evaluation.
+
+    Single-process only: a multi-process mesh yields non-addressable global
+    prediction arrays that cannot be materialized host-side; score with
+    evaluate_model_streaming there instead."""
+    import jax
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "get_model_predictions materializes full prediction tensors on one "
+            "host and is single-process only; use evaluate_model_streaming on "
+            "multi-process meshes"
+        )
     ex = EvalExecutor(cfg, graph, params, batch_size)
     preds_all, trues_all = [], []
     for batch in ex.loader(dataset):
-        valid = batch["valid"]
+        valid = np.asarray(batch["valid"])
         _, preds, trues, _ = ex.run(batch)
-        n_valid = int(valid.sum())
-        preds_all.append(np.asarray(preds)[:n_valid])
-        trues_all.append(np.asarray(trues)[:n_valid])
+        preds_all.append(np.asarray(preds)[valid])
+        trues_all.append(np.asarray(trues)[valid])
     return np.concatenate(trues_all), np.concatenate(preds_all)
 
 
@@ -400,7 +412,7 @@ def resolve_cli_config(
     workdir: str = ".",
     run_name: str | None = None,
     fallback: Config | None = None,
-) -> Config:
+) -> tuple[Config, str]:
     """One config-resolution policy for every eval-side CLI (test.py,
     predict.py, serve.py — previously three diverging copies):
 
@@ -411,20 +423,27 @@ def resolve_cli_config(
       3. else WARN and use `fallback` (default: flagship Config()). The
          warning is load-bearing (ADVICE r2 #1): a silent flagship fallback
          makes non-flagship restores fail with an opaque structural error.
-    """
-    if config_path:
-        from tec_mollm_tpu.config import load_config
 
-        return load_config(config_path)
+    Returns (config, resolved_checkpoint). Callers must pass the RESOLVED
+    checkpoint downstream: re-resolving 'latest' later is a race — a
+    concurrently-training run can save between the two mtime scans, pairing
+    run A's config with run B's weights. When nothing resolves (no checkpoint
+    yet), the original string comes back and downstream raises its own
+    actionable FileNotFoundError.
+    """
     try:
         resolved = resolve_checkpoint(checkpoint, workdir, run_name)
     except FileNotFoundError:
         resolved = None
+    if config_path:
+        from tec_mollm_tpu.config import load_config
+
+        return load_config(config_path), resolved or checkpoint
     if resolved:
         candidate = os.path.join(os.path.dirname(resolved), "config.json")
         if os.path.exists(candidate):
             with open(candidate) as f:
-                return Config.from_json(f.read())
+                return Config.from_json(f.read()), resolved
     logger.warning(
         "no config.json found next to the checkpoint — falling back to %s; "
         "restoring a checkpoint trained with a different config will fail "
@@ -432,7 +451,7 @@ def resolve_cli_config(
         "the flagship default Config()" if fallback is None
         else "the flag-built config",
     )
-    return Config() if fallback is None else fallback
+    return (Config() if fallback is None else fallback), resolved or checkpoint
 
 
 def warn_on_config_mismatch(cfg: Config, checkpoint_path: str) -> bool:

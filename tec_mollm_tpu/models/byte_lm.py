@@ -121,6 +121,15 @@ def byte_batches(
     random offsets, plus one fixed validation batch from a held-out tail."""
     arr = np.frombuffer(corpus, dtype=np.uint8)
     n_val = max(int(len(arr) * val_fraction), batch_size * (seq_len + 1))
+    # the train remainder must leave room for at least one full window, or the
+    # offset draw below degenerates into an opaque rng error
+    min_bytes = n_val + seq_len + 2
+    if len(arr) < min_bytes:
+        raise ValueError(
+            f"corpus of {len(arr)} bytes is too small for batch_size="
+            f"{batch_size} x seq_len={seq_len}: need >= {min_bytes} bytes "
+            "(shrink the batch/sequence or point --corpus-roots at more text)"
+        )
     train, val = arr[:-n_val], arr[-n_val:]
     rng = np.random.default_rng(seed)
 

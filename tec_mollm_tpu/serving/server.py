@@ -100,6 +100,7 @@ class ForecastService:
         # one lock around device work: requests serialize on the chip anyway,
         # and jit re-entry from many threads buys nothing
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self._latencies_ms: list[float] = []
         self._count = 0
 
@@ -151,10 +152,15 @@ class ForecastService:
             phys = phys * self.tscaler.scale_[0] + self.tscaler.mean_[0]
         phys = np.clip(np.nan_to_num(phys), 0.0, 200.0)
 
-        self._latencies_ms.append(latency_ms)
-        if len(self._latencies_ms) > 10_000:  # bound memory in long-lived servers
-            del self._latencies_ms[:-5_000]
-        self._count += 1
+        # ThreadingHTTPServer: stats are touched from many request threads and
+        # the /stats snapshot — keep mutation and trim atomic. A separate lock
+        # so /stats never waits behind a request's device work (which holds
+        # self._lock for the full forecast round trip).
+        with self._stats_lock:
+            self._latencies_ms.append(latency_ms)
+            if len(self._latencies_ms) > 10_000:  # bound memory, long-lived servers
+                del self._latencies_ms[:-5_000]
+            self._count += 1
         return {
             "indices": idx.tolist(),
             "forecast": phys.tolist(),
@@ -162,8 +168,10 @@ class ForecastService:
         }
 
     def stats(self) -> dict[str, Any]:
-        lat = np.asarray(self._latencies_ms)
-        out: dict[str, Any] = {"requests": self._count}
+        with self._stats_lock:
+            lat = np.asarray(self._latencies_ms)
+            count = self._count
+        out: dict[str, Any] = {"requests": count}
         if lat.size:
             out.update(
                 p50_ms=round(float(np.percentile(lat, 50)), 3),

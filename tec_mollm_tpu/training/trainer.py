@@ -228,7 +228,17 @@ class Trainer:
                 # of the epoch stays pinned on the host (OOM at archive scale —
                 # see TrainConfig.host_sync_every)
                 float(metrics["loss"])
-        total_loss = float(sum(device_losses)) if device_losses else 0.0
+        # same two-regime reduction as validate() (DESIGN §16): multi-process
+        # must not dispatch eager multi-host adds on top of outstanding
+        # collectives (deadlocks XLA:CPU's bounded inflight queue) — read the
+        # replicated scalars back and reduce on host; single-process keeps the
+        # enqueue-only device sum with one readback (one tunnel RTT total)
+        if device_losses and jax.process_count() > 1:
+            total_loss = sum(float(l) for l in device_losses)
+        elif device_losses:
+            total_loss = float(sum(device_losses))
+        else:
+            total_loss = 0.0
         dt = time.perf_counter() - t0
         windows = steps * self.macro_batch
         return {

@@ -60,7 +60,7 @@ def main() -> None:
 
     from tec_mollm_tpu.evaluation.harness import resolve_cli_config
 
-    cfg = resolve_cli_config(
+    cfg, checkpoint = resolve_cli_config(
         args.config, args.checkpoint, args.workdir, args.run_name,
         fallback=Config(
             model=ModelConfig(d_emb=args.d_emb, llm_layers=args.llm_layers),
@@ -73,7 +73,7 @@ def main() -> None:
     run_evaluation(
         cfg.resolved(),
         data_dir=args.data_dir,
-        checkpoint=args.checkpoint,
+        checkpoint=checkpoint,
         output_dir=args.output_dir,
         batch_size=batch_size,
         workdir=args.workdir,
@@ -88,7 +88,7 @@ def main() -> None:
         run_rollout_eval(
             cfg.resolved(),
             data_dir=args.data_dir,
-            checkpoint=args.checkpoint,
+            checkpoint=checkpoint,
             rollout_steps=args.rollout_steps,
             num_windows=args.rollout_windows,
             output_dir=args.output_dir,
