@@ -25,6 +25,12 @@ def main() -> None:
     p.add_argument("--run-name", default=None)
     p.add_argument("--config", default=None)
     p.add_argument("--splits", nargs="*", default=["test"])
+    p.add_argument("--artifact", default=None,
+                   help="serve from an exported StableHLO artifact "
+                        "(scripts/export_model.py) instead of restoring the "
+                        "checkpoint; --config/--checkpoint still resolve the "
+                        "window config, cross-checked against the artifact's "
+                        "metadata json")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8901)
@@ -56,6 +62,7 @@ def main() -> None:
         cfg, args.data_dir, checkpoint,
         workdir=args.workdir, run_name=args.run_name,
         max_batch=args.max_batch, splits=tuple(args.splits),
+        artifact=args.artifact,
     )
 
     if args.bench:

@@ -56,6 +56,7 @@ class ForecastService:
         run_name: str | None = None,
         max_batch: int = 8,
         splits: tuple[str, ...] = ("test",),
+        artifact: str | None = None,
     ):
         from tec_mollm_tpu.evaluation.harness import (
             EvalExecutor,
@@ -90,13 +91,47 @@ class ForecastService:
             StandardScaler.load(tscaler_path)
             if os.path.exists(tscaler_path) else None
         )
-        ckpt_path = resolve_checkpoint(checkpoint, workdir, run_name)
-        warn_on_config_mismatch(cfg, ckpt_path)
-        params = load_params_for_eval(cfg, ckpt_path, graph)
-        self.ckpt_path = ckpt_path
+        self._artifact_fn = None
+        if artifact is not None:
+            # serve straight from an exported StableHLO artifact
+            # (scripts/export_model.py): params + graph are baked in, so no
+            # checkpoint restore, no EvalExecutor — just the compiled call
+            import json as _json
 
-        self.ex = EvalExecutor(cfg, graph, params, batch_size=max_batch)
-        self.max_batch = self.ex.batch_size  # rounded up to tile the mesh
+            from tec_mollm_tpu.serving.export import load_forecaster
+
+            self._artifact_fn = load_forecaster(artifact)
+            meta_path = artifact + ".json"
+            meta = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    meta = _json.load(f)
+                mismatches = {
+                    k: (meta[k], v)
+                    for k, v in {
+                        "L_in": cfg.train.L_in, "L_out": cfg.train.L_out,
+                        "num_nodes": cfg.model.num_nodes,
+                    }.items()
+                    if k in meta and meta[k] != v
+                }
+                if mismatches:
+                    raise ValueError(
+                        f"artifact {artifact} disagrees with the config on "
+                        f"{mismatches} (artifact vs config) — export and "
+                        "serving must use the same run's config"
+                    )
+            self._artifact_bf16 = meta.get("dtype", "bfloat16") == "bfloat16"
+            self.ckpt_path = artifact
+            self.ex = None
+            self.max_batch = max_batch
+        else:
+            ckpt_path = resolve_checkpoint(checkpoint, workdir, run_name)
+            warn_on_config_mismatch(cfg, ckpt_path)
+            params = load_params_for_eval(cfg, ckpt_path, graph)
+            self.ckpt_path = ckpt_path
+
+            self.ex = EvalExecutor(cfg, graph, params, batch_size=max_batch)
+            self.max_batch = self.ex.batch_size  # rounded up to tile the mesh
         # one lock around device work: requests serialize on the chip anyway,
         # and jit re-entry from many threads buys nothing
         self._lock = threading.Lock()
@@ -111,8 +146,9 @@ class ForecastService:
         self._run_padded(warm, 1)
         self.warmup_s = time.perf_counter() - t0
         logger.info(
-            "service warm: checkpoint=%s max_batch=%d compile+first-run %.1fs",
-            ckpt_path, self.max_batch, self.warmup_s,
+            "service warm: %s=%s max_batch=%d compile+first-run %.1fs",
+            "artifact" if self._artifact_fn is not None else "checkpoint",
+            self.ckpt_path, self.max_batch, self.warmup_s,
         )
 
     # ------------------------------------------------------------------
@@ -123,9 +159,19 @@ class ForecastService:
 
         batch = dict(batch)
         batch["valid"] = np.ones(n, dtype=bool)
-        # max_batch already tiles the data axis (EvalExecutor rounds it up)
+        # max_batch already tiles the data axis (EvalExecutor rounds it up);
+        # the artifact's batch dim is symbolic, but padding to ONE shape keeps
+        # a single compiled specialization warm either way
         batch = pad_batch_to_size(batch, self.max_batch)
-        _, preds, _, _ = self.ex.run_full(batch)
+        if self._artifact_fn is not None:
+            import jax.numpy as jnp
+
+            x = jnp.asarray(
+                batch["x"], jnp.bfloat16 if self._artifact_bf16 else jnp.float32
+            )
+            preds = self._artifact_fn(x, jnp.asarray(batch["time_features"]))
+        else:
+            _, preds, _, _ = self.ex.run_full(batch)
         return np.asarray(preds)[:n]
 
     def forecast(self, indices: list[int], split: str = "test") -> dict[str, Any]:

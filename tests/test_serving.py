@@ -139,3 +139,55 @@ class TestHTTPSurface:
         finally:
             httpd.shutdown()
             httpd.server_close()
+
+
+class TestArtifactServing:
+    def test_artifact_matches_checkpoint_service(self, service, served_workdir, tmp_path):
+        """serve.py --artifact: forecasts from the exported StableHLO artifact
+        must match the checkpoint-restoring service on the same windows."""
+        from tec_mollm_tpu.evaluation.harness import load_params_for_eval
+        from tec_mollm_tpu.graph.builder import GraphData
+        from tec_mollm_tpu.serving import ForecastService
+        from tec_mollm_tpu.serving.export import export_forecaster, save_exported
+
+        wd, data_dir, cfg = served_workdir
+        graph = GraphData.load(data_dir + "/graph.npz")
+        params = load_params_for_eval(
+            cfg, wd + "/checkpoints/srun/best_params", graph
+        )
+        blob = export_forecaster(cfg, params, graph, platforms=("cpu",))
+        path = str(tmp_path / "model.stablehlo")
+        save_exported(
+            blob, path,
+            meta={"L_in": cfg.train.L_in, "L_out": cfg.train.L_out,
+                  "num_nodes": cfg.model.num_nodes,
+                  "dtype": "bfloat16" if cfg.train.bf16 else "float32"},
+        )
+        art = ForecastService(
+            cfg, data_dir, "unused", workdir=wd, max_batch=8, artifact=path
+        )
+        a = np.asarray(art.forecast([0, 3, 5])["forecast"])
+        c = np.asarray(service.forecast([0, 3, 5])["forecast"])
+        # both pipelines are bf16 end-to-end; differences are fusion-order
+        # noise at bf16 resolution of the ~100-TECU physical outputs
+        np.testing.assert_allclose(a, c, atol=1.0, rtol=0.02)
+        assert art.health()["checkpoint"].endswith("model.stablehlo")
+
+    def test_artifact_metadata_mismatch_rejected(self, served_workdir, tmp_path):
+        from tec_mollm_tpu.evaluation.harness import load_params_for_eval
+        from tec_mollm_tpu.graph.builder import GraphData
+        from tec_mollm_tpu.serving import ForecastService
+        from tec_mollm_tpu.serving.export import export_forecaster, save_exported
+
+        wd, data_dir, cfg = served_workdir
+        graph = GraphData.load(data_dir + "/graph.npz")
+        params = load_params_for_eval(
+            cfg, wd + "/checkpoints/srun/best_params", graph
+        )
+        blob = export_forecaster(cfg, params, graph, platforms=("cpu",))
+        path = str(tmp_path / "wrong.stablehlo")
+        save_exported(blob, path, meta={"L_in": cfg.train.L_in + 1})
+        with pytest.raises(ValueError, match="disagrees with the config"):
+            ForecastService(
+                cfg, data_dir, "unused", workdir=wd, max_batch=8, artifact=path
+            )
