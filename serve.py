@@ -32,6 +32,9 @@ def main() -> None:
                         "window config, cross-checked against the artifact's "
                         "metadata json")
     p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
+                   help="dynamic batching: coalesce concurrent requests for up "
+                        "to this long into one device dispatch (0 disables)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8901)
     p.add_argument("--bench", type=int, default=0, metavar="N",
@@ -62,7 +65,7 @@ def main() -> None:
         cfg, args.data_dir, checkpoint,
         workdir=args.workdir, run_name=args.run_name,
         max_batch=args.max_batch, splits=tuple(args.splits),
-        artifact=args.artifact,
+        artifact=args.artifact, batch_window_ms=args.batch_window_ms,
     )
 
     if args.bench:

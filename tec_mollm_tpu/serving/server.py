@@ -44,6 +44,103 @@ from tec_mollm_tpu.graph.builder import GraphData
 logger = logging.getLogger(__name__)
 
 
+class _DynamicBatcher:
+    """Coalesce concurrent forecast requests into one device batch.
+
+    With the device round trip dominating request latency (tunnel RTT, or the
+    forward itself), N concurrent B=1 requests served one-per-dispatch cost
+    N round trips; coalesced they cost one. A daemon thread drains a queue:
+    the first request opens a batch, then up to `window_ms` is spent topping
+    it up with same-split requests (to max_batch total rows) before one
+    padded dispatch; results are sliced back per request. Light traffic pays
+    at most the window (default 5 ms) on top of the device time."""
+
+    _STOP = object()
+
+    def __init__(self, service: "ForecastService", window_ms: float):
+        import queue
+
+        self.service = service
+        self.window_s = window_ms / 1e3
+        self.q: "queue.Queue" = queue.Queue()
+        self.batches = 0
+        self.batched_rows = 0
+        self._thread = threading.Thread(
+            target=self._loop, name="forecast-batcher", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, split: str, idx: np.ndarray) -> np.ndarray:
+        """Enqueue one request; block until its slice of the batch returns."""
+        slot: dict[str, Any] = {
+            "split": split, "idx": idx, "event": threading.Event(),
+        }
+        self.q.put(slot)
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self) -> None:
+        self.q.put(self._STOP)
+        self._thread.join(timeout=10)
+
+    def _loop(self) -> None:
+        import queue
+
+        carry: dict[str, Any] | None = None
+        while True:
+            first = carry if carry is not None else self.q.get()
+            carry = None
+            if first is self._STOP:
+                return
+            group = [first]
+            rows = len(first["idx"])
+            deadline = time.perf_counter() + self.window_s
+            while rows < self.service.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    carry = nxt
+                    break
+                if (
+                    nxt["split"] != first["split"]
+                    or rows + len(nxt["idx"]) > self.service.max_batch
+                ):
+                    # different dataset or no room: next cycle opens with it
+                    carry = nxt
+                    break
+                group.append(nxt)
+                rows += len(nxt["idx"])
+            try:
+                ds = self.service.datasets[first["split"]]
+                all_idx = np.concatenate([g["idx"] for g in group])
+                with self.service._lock:
+                    preds = self.service._run_padded(
+                        ds.gather_batch(all_idx), len(all_idx)
+                    )
+                    preds = np.ascontiguousarray(preds)
+                off = 0
+                for g in group:
+                    n = len(g["idx"])
+                    g["result"] = preds[off : off + n]
+                    off += n
+                with self.service._stats_lock:
+                    self.batches += 1
+                    self.batched_rows += rows
+            except Exception as e:  # noqa: BLE001 — deliver to the waiters
+                for g in group:
+                    g["error"] = e
+            finally:
+                for g in group:
+                    g["event"].set()
+
+
 class ForecastService:
     """Checkpoint + data loaded once; thread-safe batched forecasting."""
 
@@ -57,6 +154,7 @@ class ForecastService:
         max_batch: int = 8,
         splits: tuple[str, ...] = ("test",),
         artifact: str | None = None,
+        batch_window_ms: float = 5.0,
     ):
         from tec_mollm_tpu.evaluation.harness import (
             EvalExecutor,
@@ -145,6 +243,11 @@ class ForecastService:
         warm = first.gather_batch(np.zeros(1, np.int64))
         self._run_padded(warm, 1)
         self.warmup_s = time.perf_counter() - t0
+        # dynamic batching: coalesce concurrent requests into one dispatch
+        # (0 disables — every request runs its own padded batch)
+        self._batcher = (
+            _DynamicBatcher(self, batch_window_ms) if batch_window_ms > 0 else None
+        )
         logger.info(
             "service warm: %s=%s max_batch=%d compile+first-run %.1fs",
             "artifact" if self._artifact_fn is not None else "checkpoint",
@@ -187,10 +290,13 @@ class ForecastService:
             raise ValueError(f"indices out of range [0, {len(ds)})")
 
         t0 = time.perf_counter()
-        with self._lock:
-            preds = self._run_padded(ds.gather_batch(idx), len(idx))
-            # hard sync: count the full device round trip, not the enqueue
-            preds = np.ascontiguousarray(preds)
+        if self._batcher is not None:
+            preds = self._batcher.submit(split, idx)
+        else:
+            with self._lock:
+                preds = self._run_padded(ds.gather_batch(idx), len(idx))
+                # hard sync: count the full device round trip, not the enqueue
+                preds = np.ascontiguousarray(preds)
         latency_ms = (time.perf_counter() - t0) * 1e3
 
         phys = preds.astype(np.float64)[..., 0]
@@ -224,7 +330,19 @@ class ForecastService:
                 p95_ms=round(float(np.percentile(lat, 95)), 3),
                 mean_ms=round(float(lat.mean()), 3),
             )
+        if self._batcher is not None:
+            with self._stats_lock:
+                b, r = self._batcher.batches, self._batcher.batched_rows
+            out["batches"] = b
+            if b:
+                out["mean_batch_rows"] = round(r / b, 2)
         return out
+
+    def close(self) -> None:
+        """Stop the batcher thread (tests / graceful shutdown)."""
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
 
     def health(self) -> dict[str, Any]:
         m = self.cfg.model
