@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--bench", type=int, default=0, metavar="N",
                    help="run N warm forecast calls and print latency stats "
                         "instead of serving HTTP")
+    p.add_argument("--bench-threads", type=int, default=1,
+                   help="issue bench requests from this many concurrent "
+                        "threads (shows the dynamic-batching throughput win)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -69,14 +72,32 @@ def main() -> None:
     )
 
     if args.bench:
+        import time
+
         import numpy as np
 
         ds_len = service.health()["splits"][args.splits[0]]
         rng = np.random.default_rng(0)
-        for _ in range(args.bench):
-            idx = rng.integers(0, ds_len, size=1).tolist()
-            service.forecast(idx, args.splits[0])
-        print(json.dumps({**service.stats(), "batch": 1}))
+        idxs = [rng.integers(0, ds_len, size=1).tolist() for _ in range(args.bench)]
+        t0 = time.perf_counter()
+        if args.bench_threads > 1:
+            # concurrent load: shows the dynamic-batching win (N requests
+            # coalesce into ~N/max_batch device dispatches)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=args.bench_threads) as pool:
+                list(pool.map(
+                    lambda i: service.forecast(i, args.splits[0]), idxs
+                ))
+        else:
+            for idx in idxs:
+                service.forecast(idx, args.splits[0])
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            **service.stats(), "batch": 1,
+            "threads": args.bench_threads,
+            "requests_per_sec": round(args.bench / wall, 2),
+        }))
         return
 
     serve(service, args.host, args.port)
