@@ -344,6 +344,33 @@ class ForecastService:
             self._batcher.close()
             self._batcher = None
 
+    def metrics_text(self) -> str:
+        """Prometheus exposition-format snapshot of the /stats counters."""
+        s = self.stats()
+        lines = [
+            "# HELP tec_mollm_requests_total Forecast requests served.",
+            "# TYPE tec_mollm_requests_total counter",
+            f"tec_mollm_requests_total {s['requests']}",
+        ]
+        for k, name in (("p50_ms", "p50"), ("p95_ms", "p95"), ("mean_ms", "mean")):
+            if k in s:
+                lines += [
+                    f"# TYPE tec_mollm_request_latency_{name}_ms gauge",
+                    f"tec_mollm_request_latency_{name}_ms {s[k]}",
+                ]
+        if "batches" in s:
+            lines += [
+                "# HELP tec_mollm_batches_total Coalesced device dispatches.",
+                "# TYPE tec_mollm_batches_total counter",
+                f"tec_mollm_batches_total {s['batches']}",
+            ]
+            if "mean_batch_rows" in s:
+                lines += [
+                    "# TYPE tec_mollm_mean_batch_rows gauge",
+                    f"tec_mollm_mean_batch_rows {s['mean_batch_rows']}",
+                ]
+        return "\n".join(lines) + "\n"
+
     def health(self) -> dict[str, Any]:
         m = self.cfg.model
         return {
@@ -373,6 +400,13 @@ def _make_handler(service: ForecastService):
                 self._send(200, service.health())
             elif self.path == "/stats":
                 self._send(200, service.stats())
+            elif self.path == "/metrics":
+                body = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -136,6 +136,14 @@ class TestHTTPSurface:
                 f"http://127.0.0.1:{port}/stats", timeout=30
             ) as r:
                 assert json.load(r)["requests"] >= 1
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ) as r:
+                text = r.read().decode()
+                assert r.headers["Content-Type"].startswith("text/plain")
+            assert "tec_mollm_requests_total" in text
+            assert "tec_mollm_request_latency_p50_ms" in text
         finally:
             httpd.shutdown()
             httpd.server_close()
