@@ -64,11 +64,18 @@ def main() -> None:
         args.config, args.checkpoint, args.workdir, args.run_name
     )
 
+    # a serial bench with the batching window on would add the full window to
+    # every request (no top-up ever arrives), skewing comparisons against the
+    # direct-path latencies in BASELINE.md — disable it unless load is
+    # actually concurrent
+    window_ms = (
+        0.0 if (args.bench and args.bench_threads == 1) else args.batch_window_ms
+    )
     service = ForecastService(
         cfg, args.data_dir, checkpoint,
         workdir=args.workdir, run_name=args.run_name,
         max_batch=args.max_batch, splits=tuple(args.splits),
-        artifact=args.artifact, batch_window_ms=args.batch_window_ms,
+        artifact=args.artifact, batch_window_ms=window_ms,
     )
 
     if args.bench:
@@ -96,6 +103,7 @@ def main() -> None:
         print(json.dumps({
             **service.stats(), "batch": 1,
             "threads": args.bench_threads,
+            "batch_window_ms": window_ms,
             "requests_per_sec": round(args.bench / wall, 2),
         }))
         return

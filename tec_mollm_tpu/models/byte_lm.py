@@ -120,7 +120,11 @@ def byte_batches(
     """Infinite iterator of (B, T) uint8->int32 training batches sampled at
     random offsets, plus one fixed validation batch from a held-out tail."""
     arr = np.frombuffer(corpus, dtype=np.uint8)
-    n_val = max(int(len(arr) * val_fraction), batch_size * (seq_len + 1))
+    # the val slice must itself hold at least one full window (batch_size=1
+    # would otherwise leave len(val) == seq_len+1 and a degenerate rng range)
+    n_val = max(
+        int(len(arr) * val_fraction), batch_size * (seq_len + 1), seq_len + 2
+    )
     # the train remainder must leave room for at least one full window, or the
     # offset draw below degenerates into an opaque rng error
     min_bytes = n_val + seq_len + 2

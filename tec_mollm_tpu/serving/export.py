@@ -97,15 +97,21 @@ def export_forecaster(
 def save_exported(
     blob: bytes, path: str, meta: dict[str, Any] | None = None
 ) -> None:
-    """Write the artifact plus a sibling .json metadata file (atomic rename)."""
+    """Write the artifact plus a sibling .json metadata file (atomic renames).
+
+    Metadata first: artifact-present must imply metadata-present, or a crash
+    between the writes leaves a servable blob whose config/dtype cross-checks
+    silently don't run."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if meta is not None:
+        mtmp = path + ".json.tmp"
+        with open(mtmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(mtmp, path + ".json")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    if meta is not None:
-        with open(path + ".json", "w") as f:
-            json.dump(meta, f, indent=2)
     logger.info("exported %d bytes -> %s", len(blob), path)
 
 

@@ -65,6 +65,7 @@ class _DynamicBatcher:
         self.q: "queue.Queue" = queue.Queue()
         self.batches = 0
         self.batched_rows = 0
+        self._closed = False
         self._thread = threading.Thread(
             target=self._loop, name="forecast-batcher", daemon=True
         )
@@ -72,18 +73,37 @@ class _DynamicBatcher:
 
     def submit(self, split: str, idx: np.ndarray) -> np.ndarray:
         """Enqueue one request; block until its slice of the batch returns."""
+        if self._closed:
+            raise RuntimeError("forecast service is shutting down")
         slot: dict[str, Any] = {
             "split": split, "idx": idx, "event": threading.Event(),
         }
         self.q.put(slot)
-        slot["event"].wait()
+        # bounded wait: a slot that races a concurrent close() past the drain
+        # would otherwise block this thread forever
+        if not slot["event"].wait(timeout=600.0):
+            raise RuntimeError("forecast request timed out in the batch queue")
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
 
     def close(self) -> None:
+        import queue
+
+        self._closed = True
         self.q.put(self._STOP)
         self._thread.join(timeout=10)
+        # requests that slipped in behind _STOP (submit raced close) must not
+        # block their threads forever: error them out
+        while True:
+            try:
+                slot = self.q.get_nowait()
+            except queue.Empty:
+                break
+            if slot is self._STOP:
+                continue
+            slot["error"] = RuntimeError("forecast service shut down")
+            slot["event"].set()
 
     def _loop(self) -> None:
         import queue
@@ -218,7 +238,19 @@ class ForecastService:
                         f"{mismatches} (artifact vs config) — export and "
                         "serving must use the same run's config"
                     )
-            self._artifact_bf16 = meta.get("dtype", "bfloat16") == "bfloat16"
+                # a fixed-batch artifact serves exactly ONE shape: adopt it
+                # (padding to any other max_batch would die in Exported.call
+                # with an opaque shape error at warmup)
+                if isinstance(meta.get("batch"), int) and meta["batch"] != max_batch:
+                    logger.info(
+                        "artifact has fixed batch %d; overriding max_batch=%d",
+                        meta["batch"], max_batch,
+                    )
+                    max_batch = meta["batch"]
+            # without metadata, the config in hand knows the export dtype
+            # (export_forecaster derives it from cfg.train.bf16 the same way)
+            default_dtype = "bfloat16" if cfg.train.bf16 else "float32"
+            self._artifact_bf16 = meta.get("dtype", default_dtype) == "bfloat16"
             self.ckpt_path = artifact
             self.ex = None
             self.max_batch = max_batch
