@@ -302,20 +302,17 @@ def evaluate_sarima_streaming(
     streaming metrics (which apply the target scaler) score in TECU."""
     import jax.numpy as jnp
 
-    from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
+    from tec_mollm_tpu.evaluation.streaming import (
+        StreamingHorizonMetrics,
+        scaler_affine,
+    )
     from tec_mollm_tpu.models.sarima import fit_sarima, forecast_windows
 
     params = fit_sarima(
         train_series[-fit_window:], season=season, steps=fit_steps
     )
-    f_scale, f_mean = (
-        (float(feature_scaler.scale_[0]), float(feature_scaler.mean_[0]))
-        if feature_scaler is not None else (1.0, 0.0)
-    )
-    t_scale, t_mean = (
-        (float(target_scaler.scale_[0]), float(target_scaler.mean_[0]))
-        if target_scaler is not None else (1.0, 0.0)
-    )
+    f_scale, f_mean = scaler_affine(feature_scaler)
+    t_scale, t_mean = scaler_affine(target_scaler)
     acc = StreamingHorizonMetrics(L_out, target_scaler)
     loader = BatchLoader(
         dataset, batch_size=batch_size, drop_remainder=False, prefetch=2

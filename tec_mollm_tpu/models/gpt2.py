@@ -153,12 +153,16 @@ class GPT2Attention(nn.Module):
             q = q.reshape(b, t, cfg.llm_heads, head_dim)
             k = k.reshape(b, t, cfg.llm_heads, head_dim)
             v = v.reshape(b, t, cfg.llm_heads, head_dim)
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
-                head_dim**0.5, dtype=x.dtype
-            )
+            # fp32 scores + softmax (MXU accumulates fp32 via
+            # preferred_element_type) to match the unrolled path and the
+            # reference's torch-autocast semantics (softmax runs fp32 under
+            # autocast); the PV matmul stays in the compute dtype.
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.float32(head_dim**0.5)
             causal = jnp.tril(jnp.ones((t, t), dtype=bool))
             scores = jnp.where(causal, scores, jnp.finfo(jnp.float32).min)
-            probs = nn.softmax(scores, axis=-1)
+            probs = nn.softmax(scores, axis=-1).astype(x.dtype)
             probs = nn.Dropout(rate=cfg.llm_dropout, deterministic=deterministic)(probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
 
@@ -307,7 +311,11 @@ class GPT2Backbone(nn.Module):
         t = inputs_embeds.shape[1]
         wpe = self.param(
             "wpe",
-            nn.initializers.normal(stddev=0.01),  # HF initializes wpe with std 0.01
+            # HF's _init_weights draws every embedding (wpe included) from
+            # normal(0, initializer_range=0.02); 0.01 is the original OpenAI
+            # TF init, not HF's. Only from-scratch paths see this — imports
+            # overwrite it.
+            nn.initializers.normal(stddev=0.02),
             (cfg.llm_max_positions, cfg.d_llm),
         )
         x = inputs_embeds.astype(self.dtype) + wpe[:t].astype(self.dtype)[None]

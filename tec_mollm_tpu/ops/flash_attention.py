@@ -129,6 +129,7 @@ def _flash_forward(
             out_specs=pl.BlockSpec((1, bq, d), lambda ib, iq: (ib, iq, 0),
                                    memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
     )(qb, kb, vb)
     return out.reshape(b, h, t, d).transpose(0, 2, 1, 3)[:, :t_valid]
 

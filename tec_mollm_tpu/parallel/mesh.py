@@ -26,9 +26,12 @@ def make_mesh(
 ) -> Mesh:
     """Build a (data, model) mesh. data_parallel=None uses all remaining devices.
 
-    jax.make_mesh picks a device order that keeps the trailing (model) axis on
-    adjacent devices, so tensor-parallel collectives ride the fastest ICI links.
+    With the default device set, jax.make_mesh picks a topology-aware device
+    order that keeps the trailing (model) axis on adjacent devices, so
+    tensor-parallel collectives ride the fastest ICI links. An explicit
+    `devices` list (tests, sub-meshes) is honored verbatim via reshape.
     """
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -36,6 +39,14 @@ def make_mesh(
         if n % model_parallel:
             raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
         data_parallel = n // model_parallel
+    if not explicit and data_parallel * model_parallel == n:
+        # axis_types=Auto: jax.make_mesh defaults to Explicit (sharding-in-
+        # types), which is a different programming model — we only want its
+        # topology-aware device ordering, keeping GSPMD auto propagation.
+        return jax.make_mesh(
+            (data_parallel, model_parallel), (data_axis, model_axis),
+            axis_types=(jax.sharding.AxisType.Auto,) * 2,
+        )
     if data_parallel * model_parallel != n:
         devices = devices[: data_parallel * model_parallel]
     dev_array = np.asarray(devices).reshape(data_parallel, model_parallel)

@@ -271,7 +271,14 @@ class ForecastService:
 
         # warm the jit cache at the serving shape so the first request is fast
         t0 = time.perf_counter()
-        first = next(iter(self.datasets.values()))
+        first_name, first = next(iter(self.datasets.items()))
+        if len(first) == 0:
+            raise ValueError(
+                f"split '{first_name}' has no complete windows: it is shorter "
+                "than L_in+L_out = "
+                f"{cfg.model.temporal_seq_len + cfg.model.prediction_horizon} steps at "
+                "this config — serve a longer split or a smaller-window config"
+            )
         warm = first.gather_batch(np.zeros(1, np.int64))
         self._run_padded(warm, 1)
         self.warmup_s = time.perf_counter() - t0
@@ -362,9 +369,10 @@ class ForecastService:
                 p95_ms=round(float(np.percentile(lat, 95)), 3),
                 mean_ms=round(float(lat.mean()), 3),
             )
-        if self._batcher is not None:
+        batcher = self._batcher  # capture: close() nulls the attribute
+        if batcher is not None:
             with self._stats_lock:
-                b, r = self._batcher.batches, self._batcher.batched_rows
+                b, r = batcher.batches, batcher.batched_rows
             out["batches"] = b
             if b:
                 out["mean_batch_rows"] = round(r / b, 2)

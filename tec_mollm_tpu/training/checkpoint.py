@@ -142,14 +142,25 @@ class CheckpointManager:
     def save_params(self, params: Any, name: str = "best") -> str:
         """ALL processes must call this (collective on multi-host, like save_state)."""
         path = os.path.join(self.dir, name + "_params")
-        if _is_primary() and os.path.exists(path):
+        tmp = path + ".tmp"
+        if _is_primary() and os.path.exists(tmp):
             import shutil
 
-            shutil.rmtree(path)
+            shutil.rmtree(tmp)
         _barrier("params_pre_save")
-        self._ckptr.save(path, _host_local(params))
+        # save to tmp + rename, same discipline as save_state: a crash mid-save
+        # must never leave a partially-written dir at `path`, where it would be
+        # the freshest-mtime candidate for `--checkpoint latest` and brick eval.
+        self._ckptr.save(tmp, _host_local(params))
         self._ckptr.wait_until_finished()
         _barrier("params_saved")
+        if _is_primary():
+            import shutil
+
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(tmp, path)
+        _barrier("params_finalized")
         return path
 
     def restore_params(self, template: Any, name: str = "best") -> Any:

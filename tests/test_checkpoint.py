@@ -57,6 +57,23 @@ class TestCheckpointManager:
         restored = mgr.restore_params(jax.tree.map(jnp.zeros_like, params), "best")
         np.testing.assert_array_equal(restored["w"], params["w"])
 
+    def test_save_params_overwrites_atomically(self, tmp_path):
+        """save_params goes through tmp+rename (code-review r3): re-saving must
+        replace the old best in place, leave no .tmp behind (a stale one from
+        a crashed save must also be swept), and the final dir must restore."""
+        import os
+
+        mgr = CheckpointManager(str(tmp_path), "run3b")
+        params = {"w": jnp.arange(6.0).reshape(2, 3)}
+        mgr.save_params(params, "best")
+        # simulate a crashed earlier save leaving a stale tmp dir
+        stale = os.path.join(mgr.dir, "best_params.tmp")
+        os.makedirs(stale, exist_ok=True)
+        mgr.save_params({"w": params["w"] * 2}, "best")
+        assert not os.path.exists(stale)
+        restored = mgr.restore_params({"w": jnp.zeros((2, 3))}, "best")
+        np.testing.assert_array_equal(restored["w"], params["w"] * 2)
+
     def test_find_latest_by_mtime(self, tmp_path):
         """'latest' resolves to the most recent run's best_params
         (reference test.py:73-89 semantics)."""

@@ -194,6 +194,15 @@ class TestFlashAttention:
         expect = reference_attention(q, k, v)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(expect))
 
+    def test_interpret_flag_reaches_kernel(self):
+        """flash_attention(interpret=True) must run the Pallas kernel in
+        interpret mode off-TPU (the flag was threaded through the custom_vjp
+        but never passed to pallas_call — code-review r3)."""
+        q, k, v = _qkv(t=128)
+        got = flash_attention(q, k, v, causal=True, interpret=True)
+        expect = reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
+
     def test_gradients_flow(self):
         q, k, v = _qkv(b=1, t=128, h=2, d=32)
 

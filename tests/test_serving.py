@@ -255,6 +255,28 @@ class TestDynamicBatching:
         finally:
             svc.close()
 
+    def test_short_split_fails_with_actionable_error(self, served_workdir, tmp_path):
+        """A served split with zero complete windows must fail at startup with
+        a message naming the split and L_in+L_out, not an IndexError from the
+        warmup gather (code-review r3)."""
+        import shutil
+
+        from tec_mollm_tpu.serving import ForecastService
+
+        wd, data_dir, cfg = served_workdir
+        short_dir = tmp_path / "short"
+        shutil.copytree(data_dir, short_dir)
+        n_keep = cfg.model.temporal_seq_len + cfg.model.prediction_horizon - 1
+        for split in ("train", "val", "test"):
+            p = short_dir / f"{split}_set.npz"
+            arrs = dict(np.load(p))
+            np.savez(p, **{k: v[:n_keep] for k, v in arrs.items()})
+        with pytest.raises(ValueError, match="no complete windows"):
+            ForecastService(
+                cfg, str(short_dir), "latest", workdir=wd, run_name="srun",
+                max_batch=8,
+            )
+
     def test_batcher_propagates_errors(self, served_workdir):
         from tec_mollm_tpu.serving import ForecastService
 
