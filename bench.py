@@ -85,10 +85,10 @@ def main() -> None:
             # config's tuned eval_batch_size x accum 1 instead.
             batch_size=args.batch_size if args.batch_size is not None
             else (cfg.train.eval_batch_size if args.eval
-                  else 8 if args.preset == "default"
+                  else 8 if args.preset == "default" and not args.quick
                   else cfg.train.batch_size),
             accumulation_steps=args.accum if args.accum is not None
-            else (1 if args.preset == "default" or args.eval
+            else (1 if (args.preset == "default" and not args.quick) or args.eval
                   else cfg.train.accumulation_steps),
             # respect the preset's remat policy; --no-remat forces it off, and
             # an explicit --remat-policy forces it ON (no shipped preset has
@@ -104,7 +104,22 @@ def main() -> None:
     lat, lon = grid_coordinates(m.grid_h, m.grid_w)
     graph_np = build_graph(lat, lon, distance_threshold_km=cfg.data.distance_threshold_km)
 
-    macro = cfg.train.batch_size * cfg.train.accumulation_steps
+    # Data-parallel over every local device (mp=1), exactly like the Trainer:
+    # each chip runs the tuned per-chip policy and the macro batch is sharded
+    # over the 'data' axis. With one device this is the original single-chip
+    # bench; computing on one device while dividing by N would underreport
+    # per-chip throughput N× on a multi-chip host.
+    from tec_mollm_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        put_global,
+        replicated_sharding,
+    )
+    from tec_mollm_tpu.parallel.partitioning import param_shardings
+
+    n_chips = jax.local_device_count()
+    mesh = make_mesh(data_parallel=n_chips, model_parallel=1)
+    macro = cfg.train.batch_size * cfg.train.accumulation_steps * n_chips
     split = synthetic_processed_split(
         num_windows=macro + 1,
         L_in=cfg.train.L_in,
@@ -127,11 +142,25 @@ def main() -> None:
         fuse_conv=args.fuse_conv,
         lean_ln=not args.two_pass_ln,
     )
+    rep = replicated_sharding(mesh)
+    graph = tuple(put_global(a, rep) for a in graph)
     state, tx, mask = create_train_state(
         model, cfg, jax.random.key(0, impl=cfg.train.prng_impl), batch_np, graph,
         frozen_dtype=jnp.bfloat16 if cfg.train.bf16 else None,
     )
-    batch = jax.tree.map(jnp.asarray, batch_np)
+    # place every state leaf on the mesh (params per their specs — replicated
+    # at mp=1; moments/step/rng replicated), same discipline as the Trainer
+    state = state.replace(
+        trainable=put_global(state.trainable, param_shardings(
+            state.trainable, mesh, 1, cfg.train.model_axis)),
+        frozen=put_global(state.frozen, param_shardings(
+            state.frozen, mesh, 1, cfg.train.model_axis)),
+        opt_state=put_global(state.opt_state, rep),
+        step=put_global(state.step, rep),
+        rng=put_global(state.rng, rep),
+    )
+    bsh = batch_sharding(mesh, cfg.train.data_axis)
+    batch = jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), bsh), batch_np)
     if args.eval:
         from tec_mollm_tpu.training.train_state import make_eval_step
 
@@ -150,7 +179,8 @@ def main() -> None:
     # final loss synchronizes the whole chain.
     for _ in range(args.warmup):
         state, metrics = step_fn(state, batch, graph)
-    float(metrics["loss"])
+    if args.warmup:
+        float(metrics["loss"])  # hard sync; --warmup 0 times compile, its choice
 
     # time in chunks and report the fastest chunk (timeit-min convention): ambient
     # load on shared/tunneled backends only ever makes chunks slower
@@ -164,14 +194,17 @@ def main() -> None:
         float(metrics["loss"])
         best = min(best, time.perf_counter() - t0)
 
-    n_chips = jax.local_device_count()
     windows_per_sec_per_chip = chunk * macro / best / n_chips
 
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
             published = json.load(f).get("published", {})
-        baseline = published.get("train_windows_per_sec_per_chip")
+        # compare like with like: eval throughput vs the eval baseline key
+        baseline = published.get(
+            "eval_windows_per_sec_per_chip" if args.eval
+            else "train_windows_per_sec_per_chip"
+        )
     except (OSError, json.JSONDecodeError):
         pass
     vs_baseline = (

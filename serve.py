@@ -45,6 +45,8 @@ def main() -> None:
                         "threads (shows the dynamic-batching throughput win)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    if not args.splits:
+        p.error("--splits needs at least one split name (e.g. --splits test)")
 
     if args.cpu:
         import jax

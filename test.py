@@ -67,11 +67,12 @@ def main() -> None:
             train=TrainConfig(L_in=args.L_in, L_out=args.L_out),
         ),
     )
+    cfg = cfg.resolved()
 
     batch_size = (args.batch_size if args.batch_size is not None
                   else cfg.train.eval_batch_size)
     run_evaluation(
-        cfg.resolved(),
+        cfg,
         data_dir=args.data_dir,
         checkpoint=checkpoint,
         output_dir=args.output_dir,
@@ -86,7 +87,7 @@ def main() -> None:
         from tec_mollm_tpu.evaluation.harness import run_rollout_eval
 
         run_rollout_eval(
-            cfg.resolved(),
+            cfg,
             data_dir=args.data_dir,
             checkpoint=checkpoint,
             rollout_steps=args.rollout_steps,

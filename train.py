@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import logging
 import os
 
@@ -83,8 +82,6 @@ def parse_args() -> argparse.Namespace:
 
 
 def build_config(args: argparse.Namespace):
-    import dataclasses
-
     from tec_mollm_tpu.config import Config, ModelConfig, TrainConfig
 
     # every flag the user actually passed, as dataclass-field overrides
@@ -204,11 +201,19 @@ def main() -> None:
         logger.info("imported GPT-2 weights from %s", args.gpt2_checkpoint)
 
     if args.profile_dir:
+        import jax.numpy as jnp
+
         from tec_mollm_tpu.utils.profiler import trace
 
+        # the profiled epoch must leave no trace in training: snapshot the
+        # state (deep copy — the jitted step donates its input buffers) and
+        # restore it afterwards, so the run trains exactly `--epochs` epochs
+        # whether or not it was profiled
+        snapshot = jax.tree.map(jnp.copy, trainer.state)
         with trace(args.profile_dir):
             trainer.epoch = 0
             trainer.train_epoch()
+        trainer.state = snapshot
         logger.info("profiler trace written to %s", args.profile_dir)
 
     history = trainer.fit(resume=args.resume)
