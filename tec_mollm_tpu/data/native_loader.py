@@ -97,6 +97,16 @@ def gather_windows(
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native loader unavailable")
+    # the C side trusts raw pointers: a non-contiguous or wrong-dtype array
+    # would be read as garbage (ctypes .data_as hands over the base pointer
+    # regardless of strides) — refuse instead
+    for name, arr, dt in (("X", X, np.float32), ("Y", Y, np.float32),
+                          ("TF", TF, np.int32)):
+        if not arr.flags.c_contiguous or arr.dtype != dt:
+            raise ValueError(
+                f"{name} must be C-contiguous {np.dtype(dt).name}, got "
+                f"dtype={arr.dtype} contiguous={arr.flags.c_contiguous}"
+            )
     t, n, c = X.shape
     l_out = Y.shape[-1]
     f_t = TF.shape[-1]
@@ -127,10 +137,14 @@ def standardize_inplace(
     lib = get_lib()
     if lib is None:
         return False
+    # contiguity must be checked on x itself BEFORE reshape: reshaping a
+    # non-contiguous array returns a (contiguous) COPY, which would pass the
+    # check, be standardized, and thrown away — silently leaving x untouched
+    # while reporting success
+    if not x.flags.c_contiguous or x.dtype != np.float32:
+        return False
     c = x.shape[-1]
     flat = x.reshape(-1, c)
-    if not flat.flags.c_contiguous or flat.dtype != np.float32:
-        return False
     mean = np.ascontiguousarray(mean, dtype=np.float64)
     scale = np.ascontiguousarray(scale, dtype=np.float64)
     if num_threads is None:

@@ -51,6 +51,36 @@ class TestNativeGather:
                 np.array([20], dtype=np.int64), 16,
             )
 
+    def test_non_contiguous_input_rejected(self):
+        """The C side trusts raw pointers; a strided view must be refused, not
+        read as garbage (code-review r3)."""
+        data = _split(T=30)
+        strided_x = data["X"][::2]  # non-contiguous view
+        with pytest.raises(ValueError, match="contiguous"):
+            native_loader.gather_windows(
+                strided_x, data["Y"], data["time_features"],
+                np.array([0], dtype=np.int64), 8,
+            )
+        with pytest.raises(ValueError, match="float32"):
+            native_loader.gather_windows(
+                data["X"].astype(np.float64), data["Y"], data["time_features"],
+                np.array([0], dtype=np.int64), 8,
+            )
+
+    def test_standardize_non_contiguous_refused_not_silent(self):
+        """standardize_inplace on a strided view used to standardize a
+        reshape-COPY and report success while leaving the caller's array
+        untouched (code-review r3) — it must return False instead."""
+        rng = np.random.default_rng(2)
+        base = rng.normal(0, 1, size=(100, 12)).astype(np.float32)
+        view = base[:, ::2]  # non-contiguous, shape (100, 6)
+        before = view.copy()
+        ok = native_loader.standardize_inplace(
+            view, np.zeros(6, np.float64), np.full(6, 2.0, np.float64)
+        )
+        assert ok is False
+        np.testing.assert_array_equal(view, before)
+
     def test_standardize_matches_numpy(self):
         rng = np.random.default_rng(1)
         x = rng.normal(3, 2, size=(1000, 6)).astype(np.float32)
