@@ -39,6 +39,14 @@ def mm_bf16(a, w):
 
 
 @jax.jit
+def mm_bf16_out(a, w):
+    # bf16 result (fp32 MXU accumulation either way): halves the result-write
+    # traffic vs the f32-out arm — the achievable-ceiling reference for model
+    # matmuls, whose results feed bf16 consumers after fusion
+    return jnp.dot(a, w)
+
+
+@jax.jit
 def mm_int8_static(aq, wq):
     # both operands pre-quantized: the pure MXU-int8 ceiling
     return jax.lax.dot_general(
@@ -78,6 +86,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--chunk", type=int, default=10)
     p.add_argument("--chunks", type=int, default=4)
+    p.add_argument("--bf16-ceiling", action="store_true",
+                   help="only measure the bf16 f32-out vs bf16-out arms (the "
+                        "achievable matmul ceiling for scripts/roofline.py)")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -96,6 +107,15 @@ def main() -> None:
 
         flops = 2 * m * k * n
         t_bf = time_arm(mm_bf16, (a, w), args.chunk, args.chunks)
+        if args.bf16_ceiling:
+            t_bo = time_arm(mm_bf16_out, (a, w), args.chunk, args.chunks)
+            print(
+                f"{name:10s} ({m}x{k}x{n}): "
+                f"bf16/f32out {t_bf*1e3:7.3f} ms ({flops/t_bf/1e12:6.1f} TF/s) | "
+                f"bf16/bf16out {t_bo*1e3:7.3f} ms ({flops/t_bo/1e12:6.1f} TF/s, "
+                f"{t_bf/t_bo:4.2f}x)"
+            )
+            continue
         t_i8 = time_arm(mm_int8_static, (aq, wq), args.chunk, args.chunks)
         t_dyn = time_arm(mm_int8_dynamic, (a, wq, w_scale), args.chunk, args.chunks)
         print(

@@ -61,6 +61,15 @@ class ModelConfig:
     # Input window
     temporal_seq_len: int = 48     # L_in
 
+    # RevIN-style per-window instance normalization of the TEC channel
+    # (beyond-reference, opt-in): normalize channel 0 by its own per-(window,
+    # node) mean/std on the way in, denormalize predictions on the way out.
+    # A zero-output model then predicts exactly the input-window mean — the
+    # Historical-Average baseline — so training starts AT the baseline and
+    # learns deviations; targets distribution shift across the solar cycle
+    # (the strided-regime failure mode, BASELINE.md 13-year rows).
+    revin: bool = False
+
     @property
     def spatial_in_channels(self) -> int:
         """Channels entering the GNN = raw features + embedding dim (22 by default)."""

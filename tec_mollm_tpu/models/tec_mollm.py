@@ -107,6 +107,18 @@ class TECMoLLM(nn.Module):
         cfg = self.cfg
         b, l, n, _ = x.shape
 
+        # 0. (opt-in) RevIN: normalize the TEC channel per (window, node) so the
+        # network sees level-free inputs; predictions are mapped back below. At
+        # init (near-zero head output) the model therefore predicts the window
+        # mean — the Historical-Average baseline — and learns deviations from it.
+        if cfg.revin:
+            x0 = x[..., 0]
+            mu = jnp.mean(x0, axis=1, keepdims=True)                    # (B,1,N)
+            sd = jnp.sqrt(jnp.var(x0, axis=1, keepdims=True) + 1e-5)   # (B,1,N)
+            x = jnp.concatenate(
+                [((x0 - mu) / sd)[..., None], x[..., 1:]], axis=-1
+            )
+
         # 1. spatio-temporal embedding: (B, L, N, 6) -> (B, L, N, 22)
         h = SpatioTemporalEmbedding(cfg, dtype=self.dtype, name="embedding")(
             x, time_features
@@ -154,4 +166,10 @@ class TECMoLLM(nn.Module):
             h, deterministic=deterministic
         )
         preds = preds.reshape(b, n, cfg.prediction_horizon)
-        return preds.transpose(0, 2, 1)[..., None].astype(jnp.float32)
+        preds = preds.transpose(0, 2, 1)[..., None].astype(jnp.float32)
+        if cfg.revin:
+            # invert the instance normalization: back to the global-scaler space
+            preds = preds * sd[..., None].astype(jnp.float32) + mu[..., None].astype(
+                jnp.float32
+            )
+        return preds

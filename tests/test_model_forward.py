@@ -98,3 +98,64 @@ class TestForward:
         # GPT-2 3 blocks ~21.3M + wpe 0.79M + head ~1.33M + temporal ~0.5M +
         # embeddings ~57k + GAT ~1k + LoRA ~0.15M  => ~24M
         assert 20e6 < total < 30e6, f"unexpected param count {total}"
+
+
+class TestRevIN:
+    """Opt-in per-window instance normalization (ModelConfig.revin)."""
+
+    def test_equals_manual_composition(self, setup):
+        """revin model == normalize -> plain model -> denormalize, with the
+        SAME params (RevIN adds none, so checkpoints interchange)."""
+        import dataclasses
+
+        cfg, model, params, (x, tf, nbrs, mask) = setup
+        m_rev = TECMoLLM(dataclasses.replace(cfg.model, revin=True))
+        out_rev = m_rev.apply(params, x, tf, nbrs, mask)
+
+        x0 = np.asarray(x[..., 0])
+        mu = x0.mean(axis=1, keepdims=True)
+        sd = np.sqrt(x0.var(axis=1, keepdims=True) + 1e-5)
+        x_norm = np.concatenate(
+            [((x0 - mu) / sd)[..., None], np.asarray(x[..., 1:])], axis=-1
+        )
+        out_plain = model.apply(params, jnp.asarray(x_norm), tf, nbrs, mask)
+        manual = np.asarray(out_plain) * sd[..., None] + mu[..., None]
+        np.testing.assert_allclose(np.asarray(out_rev), manual, atol=1e-5)
+
+    def test_zero_head_predicts_window_mean(self, setup):
+        """With the head's output layer zeroed, the RevIN model predicts exactly
+        the input window's per-node TEC mean at every horizon — i.e. training
+        starts AT the Historical-Average baseline."""
+        import dataclasses
+
+        cfg, model, params, (x, tf, nbrs, mask) = setup
+        zeroed = jax.tree_util.tree_map_with_path(
+            lambda path, p: jnp.zeros_like(p)
+            if any(getattr(k, "key", None) == "fc2" for k in path)
+            else p,
+            params,
+        )
+        m_rev = TECMoLLM(dataclasses.replace(cfg.model, revin=True))
+        out = np.asarray(m_rev.apply(zeroed, x, tf, nbrs, mask))
+        ha = np.asarray(x[..., 0]).mean(axis=1)  # (B, N)
+        expect = np.broadcast_to(
+            ha[:, None, :, None], out.shape
+        )
+        np.testing.assert_allclose(out, expect, atol=1e-5)
+
+    def test_gradients_flow(self, setup):
+        """RevIN's mu/sd are differentiable pass-throughs; the loss still
+        produces finite, nonzero grads."""
+        import dataclasses
+
+        cfg, model, params, (x, tf, nbrs, mask) = setup
+        m_rev = TECMoLLM(dataclasses.replace(cfg.model, revin=True))
+
+        def loss(p):
+            out = m_rev.apply(p, x, tf, nbrs, mask)
+            return jnp.mean(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree.leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.max(jnp.abs(l))) > 0 for l in leaves)

@@ -52,6 +52,12 @@ def parse_args() -> argparse.Namespace:
     # model
     p.add_argument("--d-emb", type=int, default=None, help="default 16")
     p.add_argument("--llm-layers", type=int, default=None, help="default 3")
+    p.add_argument("--revin", action="store_true",
+                   help="RevIN-style per-window instance normalization of the "
+                        "TEC channel (beyond-reference; at init the model "
+                        "predicts the Historical-Average baseline and learns "
+                        "deviations). Recorded in config.json, so eval CLIs "
+                        "pick it up automatically")
     # parallel / precision
     p.add_argument("--model-parallel", type=int, default=None, help="default 1")
     p.add_argument("--no-bf16", action="store_true")
@@ -113,6 +119,8 @@ def build_config(args: argparse.Namespace):
         for k, v in {"d_emb": args.d_emb, "llm_layers": args.llm_layers}.items()
         if v is not None
     }
+    if args.revin:
+        model_over["revin"] = True
 
     if args.config:
         from tec_mollm_tpu.config import load_config
