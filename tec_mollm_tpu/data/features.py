@@ -139,9 +139,13 @@ def standardize_features(
     out: dict[str, dict[str, np.ndarray]] = {}
     for name, data in processed_splits.items():
         x = data["X"]
-        x_scaled = scaler.transform(x.reshape(-1, x.shape[-1])).reshape(x.shape)
+        # float32 fast path: one output allocation, no full-size float64
+        # temporaries (the 13-year archive splits are multi-GB)
+        x_scaled = scaler.transform(
+            x.reshape(-1, x.shape[-1]), dtype=np.float32
+        ).reshape(x.shape)
         out[name] = dict(data)
-        out[name]["X"] = x_scaled.astype(np.float32)
+        out[name]["X"] = x_scaled
     return out, scaler
 
 
@@ -159,7 +163,9 @@ def standardize_targets(
     out: dict[str, dict[str, np.ndarray]] = {}
     for name, data in processed_splits.items():
         y = data["Y"]
-        y_scaled = scaler.transform(y.reshape(-1, 1)).reshape(y.shape)
+        y_scaled = scaler.transform(y.reshape(-1, 1), dtype=np.float32).reshape(
+            y.shape
+        )
         out[name] = dict(data)
-        out[name]["Y"] = y_scaled.astype(np.float32)
+        out[name]["Y"] = y_scaled
     return out, scaler

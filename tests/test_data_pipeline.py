@@ -37,6 +37,35 @@ class TestStandardScaler:
             ours.inverse_transform(ours.transform(x)), x, atol=1e-9
         )
 
+    def test_chunked_paths_match_unchunked(self, rng):
+        """fit/transform stream in CHUNK_ROWS row chunks; shrinking the chunk
+        so an array spans many chunks must not change the statistics or the
+        transformed values (the full-archive splits take exactly this path)."""
+        x = rng.normal(3.0, 2.5, size=(1000, 3)).astype(np.float32)
+        big = StandardScaler().fit(x)
+        small = StandardScaler()
+        small.CHUNK_ROWS = 7  # instance override: 143 chunks
+        small.fit(x)
+        np.testing.assert_allclose(small.mean_, big.mean_, rtol=1e-13)
+        np.testing.assert_allclose(small.scale_, big.scale_, rtol=1e-13)
+        np.testing.assert_allclose(
+            small.transform(x), big.transform(x), rtol=1e-13
+        )
+
+    def test_float32_dtype_fast_path(self, rng):
+        """transform/inverse_transform(dtype=np.float32) must agree with the
+        float64 default to float32 roundoff and return float32 without any
+        full-size float64 temporary (the multi-GB archive path)."""
+        x = rng.normal(50.0, 20.0, size=(5000, 2)).astype(np.float32)
+        s = StandardScaler().fit(x)
+        t32 = s.transform(x, dtype=np.float32)
+        t64 = s.transform(x)
+        assert t32.dtype == np.float32 and t64.dtype == np.float64
+        np.testing.assert_allclose(t32, t64, rtol=2e-6, atol=2e-6)
+        r32 = s.inverse_transform(t32, dtype=np.float32)
+        assert r32.dtype == np.float32
+        np.testing.assert_allclose(r32, x, rtol=2e-5, atol=2e-4)
+
     def test_save_load_roundtrip(self, rng, tmp_path):
         x = rng.normal(size=(50, 3))
         s = StandardScaler().fit(x)
