@@ -81,6 +81,7 @@ def run_preprocess(
     synthetic_steps: int | None = None,
     synthetic_grid: tuple[int, int] = (41, 71),
     seed: int = 0,
+    solar_cycle: bool = False,
 ) -> dict[str, int]:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -133,7 +134,7 @@ def run_preprocess(
         ])
         raw = synthetic_raw_data(
             num_steps=synthetic_steps, grid_h=gh, grid_w=gw, seed=seed,
-            times=times,
+            times=times, solar_cycle=solar_cycle,
         )
         splits = split_by_time(
             raw, data_cfg.train_end, data_cfg.val_start, data_cfg.val_end,
@@ -202,6 +203,10 @@ def main() -> None:
     parser.add_argument("--synthetic", type=int, default=None, metavar="STEPS",
                         help="generate a synthetic dataset with STEPS timesteps")
     parser.add_argument("--synthetic-grid", type=int, nargs=2, default=(41, 71))
+    parser.add_argument("--solar-cycle", action="store_true",
+                        help="synthetic realism: 11-year activity cycle modulating "
+                        "TEC amplitude + space-weather indices physically coupled "
+                        "to TEC (storm depletions) instead of uninformative walks")
     parser.add_argument("--config", default=None, help="config json path")
     args = parser.parse_args()
 
@@ -217,6 +222,7 @@ def main() -> None:
         data_cfg, args.out,
         synthetic_steps=args.synthetic,
         synthetic_grid=tuple(args.synthetic_grid),
+        solar_cycle=args.solar_cycle,
     )
     logger.info("done: %s", sizes)
 

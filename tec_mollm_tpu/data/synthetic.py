@@ -29,6 +29,7 @@ def synthetic_raw_data(
     start: str = "2014-01-01T00:00:00",
     seed: int = 0,
     times: np.ndarray | None = None,
+    solar_cycle: bool = False,
 ) -> dict[str, np.ndarray]:
     """In-memory equivalent of one aggregated CRIM dataset.
 
@@ -43,6 +44,20 @@ def synthetic_raw_data(
     phase is consistent with its time-feature labels. Without this, val/test
     carried day-of-year labels from a different season than their data — the
     time embeddings then actively mislead any trained model on those splits.
+
+    `solar_cycle=True` (opt-in; the default output is bit-identical to before
+    the flag existed) adds the two kinds of nonstationarity the default lacks,
+    making multi-year experiments meaningful:
+
+    * an ~11-year activity cycle (maxima mid-2014 and early 2025, minimum
+      ~2020, like real solar cycles 24/25) multiplicatively modulates TEC
+      amplitude — so the 2013-21 train split and the 2024+ test split sit at
+      DIFFERENT activity levels, a genuine distribution shift;
+    * the space-weather indices become physically coupled to TEC instead of
+      uninformative random walks: F10.7 tracks the activity level, geomagnetic
+      storms (random onsets, exponential ~18 h recovery) spike Kp/ap/AE and
+      depress Dst, and TEC responds to each storm with a lagged depletion —
+      so the 5 index input channels carry real predictive signal.
     """
     rng = np.random.default_rng(seed)
     lat, lon = grid_coordinates(grid_h, grid_w)
@@ -59,20 +74,50 @@ def synthetic_raw_data(
     diurnal = np.sin(2 * np.pi * (hours[:, None, None] - 14) / 24.0)
     seasonal = np.cos(2 * np.pi * days[:, None, None] / 365.25)
     lat_profile = 30.0 - 0.3 * np.abs(lat[None, :, None] - lat.mean())
-    tec = (
-        lat_profile
-        + 12.0 * diurnal
-        + 5.0 * seasonal
-        + rng.normal(0, 1.5, size=(num_steps, grid_h, grid_w))
-    )
-    tec = np.clip(tec, 0.0, 200.0).astype(np.float32)
+    noise = rng.normal(0, 1.5, size=(num_steps, grid_h, grid_w))
 
-    walks = np.cumsum(rng.normal(0, 1, size=(num_steps, 5)), axis=0)
-    base = np.array([200.0, -20.0, 120.0, 3.0, 15.0])
-    scale = np.array([50.0, 10.0, 20.0, 0.5, 5.0])
-    indices = (base + scale * walks / np.sqrt(np.arange(1, num_steps + 1))[:, None]).astype(
-        np.float32
-    )
+    if solar_cycle:
+        # Separate stream so the default path's draws stay bit-identical.
+        rng_sc = np.random.default_rng(np.random.SeedSequence([seed, 0x5C]))
+        day_f = times.astype(np.int64) / 86400.0  # float days since epoch
+        peak = np.datetime64("2014-07-01T00:00:00", "s").astype(np.int64) / 86400.0
+        # activity in [0, 1]: 11-year (4015-day) cycle; 2014 max, ~2020 min,
+        # early-2025 max — train (2013-21) spans max->min, test (2024+) is at
+        # the NEXT maximum.
+        activity = 0.5 + 0.5 * np.cos(2 * np.pi * (day_f - peak) / 4015.0)
+        # Storm onsets: a few per month at solar max, rare at minimum; each has
+        # a gamma-distributed magnitude and an exponential ~18 h (9-step) tail.
+        onset_p = (0.02 + 0.10 * activity) / 12.0  # per 2-hour step
+        mag = rng_sc.gamma(2.0, 1.2, size=num_steps) * (
+            rng_sc.random(num_steps) < onset_p
+        )
+        kern = np.exp(-np.arange(24) / 9.0)
+        storm = np.convolve(mag, kern)[:num_steps]  # Kp excess above quiet
+        kp = np.clip(
+            2.0 + storm + rng_sc.normal(0, 0.3, num_steps), 0.0, 9.0
+        )
+        f107 = 70.0 + 150.0 * activity + rng_sc.normal(0, 6.0, num_steps)
+        dst = -10.0 - 25.0 * storm + rng_sc.normal(0, 4.0, num_steps)
+        ae = 80.0 + 150.0 * storm + rng_sc.normal(0, 25.0, num_steps)
+        ap = 3.0 * np.exp(kp / 2.2)  # roughly the real Kp->ap quasi-log table
+        indices = np.stack([ae, dst, f107, kp, ap], axis=-1).astype(np.float32)
+        # TEC amplitude follows activity; storms deplete TEC with a 3-step
+        # (6-hour) lag — so an input window that saw the Kp spike carries the
+        # information needed to predict the depletion/recovery that follows.
+        amp = (0.55 + 0.9 * activity)[:, None, None]
+        lagged = np.concatenate([np.zeros(3), storm[:-3]])
+        depletion = (-1.5 * lagged)[:, None, None]
+        tec = (lat_profile + 12.0 * diurnal + 5.0 * seasonal) * amp + depletion + noise
+    else:
+        tec = lat_profile + 12.0 * diurnal + 5.0 * seasonal + noise
+        walks = np.cumsum(rng.normal(0, 1, size=(num_steps, 5)), axis=0)
+        base = np.array([200.0, -20.0, 120.0, 3.0, 15.0])
+        scale = np.array([50.0, 10.0, 20.0, 0.5, 5.0])
+        indices = (
+            base + scale * walks / np.sqrt(np.arange(1, num_steps + 1))[:, None]
+        ).astype(np.float32)
+
+    tec = np.clip(tec, 0.0, 200.0).astype(np.float32)
 
     return {
         "tec": tec,
