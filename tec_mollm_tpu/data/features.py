@@ -20,7 +20,7 @@ import logging
 
 import numpy as np
 
-from tec_mollm_tpu.data.hdf5_io import load_and_split_data
+from tec_mollm_tpu.data.hdf5_io import check_cadence, load_and_split_data
 from tec_mollm_tpu.data.scaler import StandardScaler
 
 logger = logging.getLogger(__name__)
@@ -106,6 +106,9 @@ def build_split_tensors(
     )
     processed: dict[str, dict[str, np.ndarray]] = {}
     for split_name, data in data_splits.items():
+        # windows/targets index raw positions, so WITHIN-split gaps corrupt
+        # them (gaps at split boundaries are benign — windows are per split)
+        check_cadence(data["time"], context=f"split '{split_name}'")
         x = construct_feature_tensor(data["tec"], data["space_weather_indices"])
         y = construct_target_tensor(data["tec"], horizon)
         tf = extract_time_features(data["time"], base_year=base_year)

@@ -83,6 +83,45 @@ def decode_times(raw_time: np.ndarray) -> np.ndarray:
     return np.asarray(decoded, dtype="datetime64[s]")
 
 
+def check_cadence(times: np.ndarray, context: str = "") -> int:
+    """Diagnose timestamp irregularities; returns the number of irregular steps.
+
+    The reference assumes a perfectly uniform 2-hour archive (its sliding
+    windows index raw positions, dataset.py:46-53) and would silently build
+    windows/targets spanning any gap. Real multi-year archives have outages,
+    so this beyond-reference check warns — loudly, with locations — when
+    (a) timestamps are not strictly increasing (files concatenated out of
+    order corrupt every window) or (b) the cadence has gaps (windows crossing
+    a gap mix non-adjacent epochs; targets 'horizon steps ahead' silently
+    reach further into the future than configured).
+    """
+    t = np.asarray(times, dtype="datetime64[s]").astype(np.int64)
+    if t.size < 2:
+        return 0
+    deltas = np.diff(t)
+    where = f" in {context}" if context else ""
+    nonmono = np.flatnonzero(deltas <= 0)
+    if nonmono.size:
+        logger.warning(
+            "%d non-increasing timestamp step(s)%s (first at index %d: %s -> %s) "
+            "— input files are likely concatenated out of order; every window "
+            "built from this range is corrupt",
+            nonmono.size, where, int(nonmono[0]),
+            np.datetime64(int(t[nonmono[0]]), "s"),
+            np.datetime64(int(t[nonmono[0] + 1]), "s"),
+        )
+    step = int(np.median(deltas))
+    gaps = np.flatnonzero((deltas != step) & (deltas > 0))
+    if gaps.size:
+        logger.warning(
+            "%d cadence gap(s)%s (median step %d s; first gap of %d s after %s) "
+            "— sliding windows spanning a gap will mix non-adjacent epochs",
+            gaps.size, where, step, int(deltas[gaps[0]]),
+            np.datetime64(int(t[gaps[0]]), "s"),
+        )
+    return int(nonmono.size + gaps.size)
+
+
 def aggregate_files(file_paths: list[str]) -> dict[str, np.ndarray]:
     """Concatenate per-year files along time; decode timestamps; keep static coords
     from the first file (reference data_loader.py:84-130)."""
@@ -99,6 +138,7 @@ def aggregate_files(file_paths: list[str]) -> dict[str, np.ndarray]:
     for key in ("latitude", "longitude"):
         if key in per_file[0]:
             aggregated[key] = per_file[0][key]
+    check_cadence(aggregated["time"], context="aggregated archive")
     return aggregated
 
 

@@ -98,6 +98,51 @@ class TestHDF5Ingestion:
         assert np.all(np.abs(kp) < 50)
         assert kp.dtype == np.float64
 
+    def test_cadence_uniform_is_silent(self, caplog):
+        from tec_mollm_tpu.data.hdf5_io import check_cadence
+
+        t = np.datetime64("2020-01-01T00:00:00", "s") + np.arange(50) * np.timedelta64(
+            7200, "s"
+        )
+        with caplog.at_level("WARNING"):
+            assert check_cadence(t) == 0
+        assert not caplog.records
+
+    def test_cadence_gap_warns(self, caplog):
+        from tec_mollm_tpu.data.hdf5_io import check_cadence
+
+        t = np.datetime64("2020-01-01T00:00:00", "s") + np.arange(50) * np.timedelta64(
+            7200, "s"
+        )
+        t[30:] += np.timedelta64(86400, "s")  # one-day outage
+        with caplog.at_level("WARNING"):
+            assert check_cadence(t, context="unit") == 1
+        assert any("cadence gap" in r.getMessage() for r in caplog.records)
+
+    def test_cadence_nonmonotonic_warns(self, caplog):
+        from tec_mollm_tpu.data.hdf5_io import check_cadence
+
+        a = np.datetime64("2021-01-01T00:00:00", "s") + np.arange(20) * np.timedelta64(
+            7200, "s"
+        )
+        b = np.datetime64("2020-01-01T00:00:00", "s") + np.arange(20) * np.timedelta64(
+            7200, "s"
+        )
+        t = np.concatenate([a, b])  # files out of order
+        with caplog.at_level("WARNING"):
+            assert check_cadence(t) >= 1
+        assert any("non-increasing" in r.getMessage() for r in caplog.records)
+
+    def test_build_split_tensors_warns_on_gapped_split(self, caplog):
+        raw = synthetic_raw_data(num_steps=60, grid_h=3, grid_w=4)
+        raw["time"] = raw["time"].copy()
+        raw["time"][40:] += np.timedelta64(7200 * 5, "s")
+        from tec_mollm_tpu.data.features import build_split_tensors
+
+        with caplog.at_level("WARNING"):
+            build_split_tensors({"train": raw}, horizon=3)
+        assert any("cadence gap" in r.getMessage() for r in caplog.records)
+
     def test_split_boundaries(self):
         raw = synthetic_raw_data(num_steps=40, grid_h=3, grid_w=4, start="2021-12-29T00:00:00")
         from tec_mollm_tpu.data.hdf5_io import split_by_time
