@@ -70,6 +70,23 @@ class ModelConfig:
     # (the strided-regime failure mode, BASELINE.md 13-year rows).
     revin: bool = False
 
+    # Probabilistic forecasting (beyond-reference, opt-in): non-empty tuple of
+    # quantile levels (must include 0.5, strictly increasing, all in (0,1)).
+    # The head then emits one forecast per level per horizon, trained with
+    # pinball loss instead of Huber; levels are kept non-crossing by sorting
+    # along the quantile axis. () = the reference's deterministic point model.
+    quantiles: tuple[float, ...] = ()
+
+    @property
+    def num_outputs(self) -> int:
+        """Output channels per (horizon, node): 1 point value or len(quantiles)."""
+        return max(1, len(self.quantiles))
+
+    @property
+    def median_index(self) -> int:
+        """Index of the 0.5 level — the point forecast in quantile mode."""
+        return self.quantiles.index(0.5) if self.quantiles else 0
+
     @property
     def spatial_in_channels(self) -> int:
         """Channels entering the GNN = raw features + embedding dim (22 by default)."""
@@ -120,6 +137,16 @@ class ModelConfig:
             )
         if self.d_llm % self.llm_heads != 0:
             raise ValueError("d_llm must be divisible by llm_heads")
+        if self.quantiles:
+            q = self.quantiles
+            if any(not (0.0 < v < 1.0) for v in q):
+                raise ValueError(f"quantiles must lie in (0, 1): {q}")
+            if any(b <= a for a, b in zip(q, q[1:])):
+                raise ValueError(f"quantiles must be strictly increasing: {q}")
+            if 0.5 not in q:
+                raise ValueError(
+                    f"quantiles must include 0.5 (the point forecast): {q}"
+                )
 
 
 @dataclass(frozen=True)

@@ -201,6 +201,10 @@ def get_model_predictions(
     for batch in ex.loader(dataset):
         valid = np.asarray(batch["valid"])
         _, preds, trues, _ = ex.run(batch)
+        if cfg.model.quantiles:
+            from tec_mollm_tpu.training.train_state import point_forecast
+
+            preds = point_forecast(preds, cfg)  # keep the (.., 1) contract
         preds_all.append(np.asarray(preds)[valid])
         trues_all.append(np.asarray(trues)[valid])
     return np.concatenate(trues_all), np.concatenate(preds_all)
@@ -219,14 +223,30 @@ def evaluate_model_streaming(
     batch reduces to (L_out, 8) sufficient statistics on device
     (evaluation/streaming.py), data-parallel over the whole mesh. Same numbers
     as evaluate_horizons."""
-    from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
+    from tec_mollm_tpu.evaluation.streaming import (
+        StreamingHorizonMetrics,
+        StreamingQuantileMetrics,
+    )
+    from tec_mollm_tpu.training.train_state import point_forecast
 
     ex = EvalExecutor(cfg, graph, params, batch_size, devices=devices)
     acc = StreamingHorizonMetrics(cfg.train.L_out, scaler)
+    quantiles = cfg.model.quantiles
+    acc_q = (
+        StreamingQuantileMetrics(cfg.train.L_out, quantiles, scaler)
+        if quantiles
+        else None
+    )
     for batch in ex.loader(dataset):
         _, preds, trues, valid_dev = ex.run(batch)
+        if acc_q is not None:
+            acc_q.update(trues, preds, valid_dev)
+            preds = point_forecast(preds, cfg)  # point metrics on the 0.5 level
         acc.update(trues, preds, valid_dev)
-    return acc.finalize()
+    result = acc.finalize()
+    if acc_q is not None:
+        result["quantile_metrics"] = acc_q.finalize()
+    return result
 
 
 def host_targets(dataset: SlidingWindowDataset) -> np.ndarray:
@@ -388,6 +408,46 @@ def write_results(
         f.write("Improvement vs HistoricalAverage:\n")
         for k, v in improvements.items():
             f.write(f"  {k}: {v:+.2f}%\n")
+        qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
+        if qm:
+            f.write("\nProbabilistic forecast (quantile head):\n")
+            f.write(f"  levels:       {qm['quantiles']}\n")
+            f.write(f"  pinball avg:  {qm['pinball_avg']:.6f}\n")
+            cal = ", ".join(
+                f"{q:g}->{c:.3f}"
+                for q, c in zip(qm["quantiles"], qm["calibration_by_level"])
+            )
+            f.write(f"  calibration:  {cal}\n")
+            if "interval_coverage" in qm:
+                f.write(
+                    f"  interval:     {qm['interval_coverage']:.3f} observed vs "
+                    f"{qm['interval_nominal']:.3f} nominal\n"
+                )
+
+    qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
+    if qm:
+        qcsv = os.path.join(output_dir, "quantile_metrics.csv")
+        n_h = len(qm["pinball_by_horizon"])
+        cov = qm.get("interval_coverage_by_horizon", [float("nan")] * n_h)
+        with open(qcsv, "w") as f:
+            f.write(
+                "horizon,"
+                + ",".join(f"pinball_q{q:g}" for q in qm["quantiles"])
+                + ",interval_coverage\n"
+            )
+            f.write(
+                "avg,"
+                + ",".join(f"{p:.6f}" for p in qm["pinball_by_level"])
+                + f",{qm.get('interval_coverage', float('nan')):.6f}\n"
+            )
+            for h in range(n_h):
+                f.write(
+                    f"{h+1},"
+                    + ",".join(
+                        f"{p:.6f}" for p in qm["pinball_by_horizon_level"][h]
+                    )
+                    + f",{cov[h]:.6f}\n"
+                )
     return csv_path, txt_path
 
 
@@ -647,8 +707,9 @@ def run_prediction(
     _, preds, trues, _ = ex.run_full(batch)
     preds, trues = preds[: len(idx)], trues[: len(idx)]
 
-    def to_physical(a: jnp.ndarray, what: str) -> np.ndarray:
-        a = np.asarray(a, dtype=np.float64)[..., 0]  # (W, L_out, N)
+    def to_physical(a: jnp.ndarray, what: str, channel: int | None) -> np.ndarray:
+        a = np.asarray(a, dtype=np.float64)
+        a = a[..., channel] if channel is not None else a  # (W, L_out, N[, Q])
         if tscaler is not None:
             a = a * tscaler.scale_[0] + tscaler.mean_[0]
         n_bad = int((~np.isfinite(a)).sum())
@@ -661,8 +722,18 @@ def run_prediction(
             )
         return np.nan_to_num(a)
 
-    forecast = np.clip(to_physical(preds, "model predictions"), 0.0, 200.0)
-    truth = to_physical(trues, "target values")
+    quantiles = cfg.model.quantiles
+    forecast = np.clip(
+        to_physical(preds, "model predictions", cfg.model.median_index), 0.0, 200.0
+    )
+    truth = to_physical(trues, "target values", 0)
+    extra: dict[str, np.ndarray] = {}
+    if quantiles:
+        # full probabilistic forecast: (W, L_out, N, Q) physical TECU
+        extra["forecast_quantiles"] = np.clip(
+            to_physical(preds, "quantile predictions", None), 0.0, 200.0
+        )
+        extra["quantile_levels"] = np.asarray(quantiles, dtype=np.float64)
 
     out_path = os.path.join(output_dir, "forecast.npz")
     # run_full returns identical replicated outputs on every process; only the
@@ -671,14 +742,14 @@ def run_prediction(
 
     if jax.process_index() == 0:
         os.makedirs(output_dir, exist_ok=True)
-        np.savez(out_path, indices=idx, forecast=forecast, truth=truth)
+        np.savez(out_path, indices=idx, forecast=forecast, truth=truth, **extra)
     mae = float(np.abs(forecast - truth).mean())
     logger.info(
         "forecast %d window(s) of split '%s' -> %s (MAE vs observed: %.4f TECU)",
         len(idx), split, out_path, mae,
     )
     return {"indices": idx.tolist(), "forecast": forecast, "truth": truth,
-            "path": out_path, "mae": mae}
+            "path": out_path, "mae": mae, **extra}
 
 
 def run_evaluation(

@@ -89,7 +89,12 @@ def autoregressive_rollout(
             tf_win = jax.lax.dynamic_slice_in_dim(tf_dev, k * L_out, L_in, axis=1)
             preds = model.apply(
                 {"params": params}, window, tf_win, g1, g2, deterministic=True
-            )  # (B, L_out, N, 1) target-scaled
+            )  # (B, L_out, N, Q) target-scaled (Q=1, or quantile levels)
+            # feed back (and report) the POINT forecast — the 0.5 level in
+            # quantile mode; rolling out the tail levels would compound them
+            preds = jax.lax.slice_in_dim(
+                preds, m.median_index, m.median_index + 1, axis=-1
+            )
             tec_feat = (preds[..., 0] * a + b)  # (B, L_out, N) feature-scaled
             sw_chunk = jax.lax.dynamic_slice_in_dim(sw_dev, k * L_out, L_out, axis=1)
             sw_rows = jnp.broadcast_to(

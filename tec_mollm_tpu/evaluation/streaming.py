@@ -152,3 +152,116 @@ class StreamingHorizonMetrics:
             "r2_by_horizon": r2.tolist(),
             "pearson_by_horizon": pearson.tolist(),
         }
+
+
+@partial(jax.jit, static_argnames=("quantiles",))
+def batch_quantile_stats(
+    y_true_scaled: jnp.ndarray,  # (B, L_out, ...) scaled
+    y_pred_q_scaled: jnp.ndarray,  # (B, L_out, ..., Q) scaled, one per level
+    valid: jnp.ndarray,          # (B,) bool
+    scale: jnp.ndarray,          # () target-scaler scale
+    mean: jnp.ndarray,           # () target-scaler mean
+    quantiles: tuple[float, ...],
+) -> jnp.ndarray:
+    """-> (L_out, 1 + 2Q) float32 per-horizon sufficient statistics for
+    probabilistic forecasts: [n, pinball_sum per level, below_count per level]
+    in physical units with the same guard/clip semantics as the point stats."""
+    nq = len(quantiles)
+    l_out = y_true_scaled.shape[1]
+    yt = y_true_scaled.reshape(y_true_scaled.shape[0], l_out, -1).astype(jnp.float32)
+    yp = y_pred_q_scaled.reshape(
+        y_pred_q_scaled.shape[0], l_out, -1, nq
+    ).astype(jnp.float32)
+
+    yp = jnp.nan_to_num(yp, nan=0.0, posinf=0.0, neginf=0.0)
+    yt = yt * scale + mean
+    yp = yp * scale + mean
+    yt = jnp.nan_to_num(yt, nan=0.0, posinf=100.0, neginf=0.0)
+    yp = jnp.clip(jnp.nan_to_num(yp, nan=0.0, posinf=100.0, neginf=0.0),
+                  TEC_MIN, TEC_MAX)
+
+    w = valid.astype(jnp.float32)[:, None, None]            # (B, 1, 1)
+    q = jnp.asarray(quantiles, jnp.float32)                  # (Q,)
+    err = yt[..., None] - yp                                 # (B, L, M, Q)
+    pinball = jnp.maximum(q * err, (q - 1.0) * err) * w[..., None]
+    below = (yt[..., None] <= yp).astype(jnp.float32) * w[..., None]
+    n = jnp.sum(w) * yt.shape[-1]
+    return jnp.concatenate(
+        [
+            jnp.full((l_out, 1), n),
+            jnp.sum(pinball, axis=(0, 2)),                   # (L, Q)
+            jnp.sum(below, axis=(0, 2)),                     # (L, Q)
+        ],
+        axis=-1,
+    )
+
+
+class StreamingQuantileMetrics:
+    """Accumulates batch_quantile_stats; finalizes pinball / calibration /
+    interval-coverage summaries for the probabilistic head
+    (ModelConfig.quantiles). Same device-side streaming design as
+    StreamingHorizonMetrics: no prediction tensor ever reaches the host."""
+
+    def __init__(
+        self,
+        num_horizons: int,
+        quantiles: tuple[float, ...],
+        scaler: StandardScaler | None = None,
+        flush_every: int = 128,
+    ):
+        self.quantiles = tuple(quantiles)
+        nq = len(self.quantiles)
+        self.stats = np.zeros((num_horizons, 1 + 2 * nq), dtype=np.float64)
+        scale, mean = scaler_affine(scaler)
+        self.scale = jnp.asarray(scale, jnp.float32)
+        self.mean = jnp.asarray(mean, jnp.float32)
+        self.flush_every = flush_every
+        self._pending: list[jnp.ndarray] = []
+
+    def update(
+        self,
+        y_true_scaled: jnp.ndarray,
+        y_pred_q_scaled: jnp.ndarray,
+        valid: jnp.ndarray | None = None,
+    ) -> None:
+        if valid is None:
+            valid = jnp.ones((y_true_scaled.shape[0],), bool)
+        s = batch_quantile_stats(
+            y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
+            self.quantiles,
+        )
+        self._pending.append(s)
+        if len(self._pending) >= self.flush_every:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        chunk = jnp.sum(jnp.stack(self._pending), axis=0)
+        self.stats += np.asarray(chunk, dtype=np.float64)
+        self._pending = []
+
+    def finalize(self) -> dict[str, Any]:
+        self._flush()
+        nq = len(self.quantiles)
+        n = self.stats[:, 0]
+        n = np.where(n == 0, 1.0, n)
+        pinball = self.stats[:, 1 : 1 + nq] / n[:, None]      # (L, Q)
+        below = self.stats[:, 1 + nq :] / n[:, None]          # (L, Q)
+        out: dict[str, Any] = {
+            "quantiles": list(self.quantiles),
+            "pinball_avg": float(pinball.mean()),
+            "pinball_by_level": pinball.mean(axis=0).tolist(),
+            "pinball_by_horizon": pinball.mean(axis=1).tolist(),
+            "pinball_by_horizon_level": pinball.tolist(),  # (L, Q)
+            # calibration: fraction of truths at or below each level's forecast
+            # (perfectly calibrated -> equals the nominal level)
+            "calibration_by_level": below.mean(axis=0).tolist(),
+        }
+        if nq >= 2:
+            lo, hi = self.quantiles[0], self.quantiles[-1]
+            cover = below[:, -1] - below[:, 0]                # P(p_lo < y <= p_hi)
+            out["interval_nominal"] = hi - lo
+            out["interval_coverage"] = float(cover.mean())
+            out["interval_coverage_by_horizon"] = cover.tolist()
+        return out

@@ -19,11 +19,16 @@ class PredictionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """x: (B, P, d_llm) -> (B, L_out)."""
+        """x: (B, P, d_llm) -> (B, L_out * num_outputs).
+
+        num_outputs is 1 (reference point forecast) or len(cfg.quantiles)
+        (beyond-reference probabilistic head)."""
         cfg = self.cfg
         x = x.reshape(x.shape[0], -1)
         hidden = cfg.head_input_dim // cfg.head_hidden_ratio
         x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(rate=cfg.head_dropout, deterministic=deterministic)(x)
-        return nn.Dense(cfg.prediction_horizon, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(
+            cfg.prediction_horizon * cfg.num_outputs, dtype=self.dtype, name="fc2"
+        )(x)

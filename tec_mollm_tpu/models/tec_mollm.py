@@ -161,14 +161,20 @@ class TECMoLLM(nn.Module):
         )(h, deterministic=deterministic)
         h = nn.Dropout(rate=cfg.post_llm_dropout, deterministic=deterministic)(h)
 
-        # 8-10. head + final reshape: (B*N, L_out) -> (B, L_out, N, 1)
+        # 8-10. head + final reshape: (B*N, L_out*Q) -> (B, L_out, N, Q)
+        # (Q = 1 point forecast, or len(cfg.quantiles) probabilistic levels)
         preds = PredictionHead(cfg, dtype=self.dtype, name="head")(
             h, deterministic=deterministic
         )
-        preds = preds.reshape(b, n, cfg.prediction_horizon)
-        preds = preds.transpose(0, 2, 1)[..., None].astype(jnp.float32)
+        preds = preds.reshape(b, n, cfg.prediction_horizon, cfg.num_outputs)
+        preds = preds.transpose(0, 2, 1, 3).astype(jnp.float32)
+        if cfg.quantiles:
+            # non-crossing guarantee: levels are monotone along the last axis
+            # (sort is differentiable in JAX; pinball trains through it)
+            preds = jnp.sort(preds, axis=-1)
         if cfg.revin:
             # invert the instance normalization: back to the global-scaler space
+            # (sd > 0, so the quantile ordering survives the affine map)
             preds = preds * sd[..., None].astype(jnp.float32) + mu[..., None].astype(
                 jnp.float32
             )

@@ -338,10 +338,12 @@ class ForecastService:
                 preds = np.ascontiguousarray(preds)
         latency_ms = (time.perf_counter() - t0) * 1e3
 
-        phys = preds.astype(np.float64)[..., 0]
+        quantiles = self.cfg.model.quantiles
+        all_phys = preds.astype(np.float64)  # (B, L_out, N, Q)
         if self.tscaler is not None:
-            phys = phys * self.tscaler.scale_[0] + self.tscaler.mean_[0]
-        phys = np.clip(np.nan_to_num(phys), 0.0, 200.0)
+            all_phys = all_phys * self.tscaler.scale_[0] + self.tscaler.mean_[0]
+        all_phys = np.clip(np.nan_to_num(all_phys), 0.0, 200.0)
+        phys = all_phys[..., self.cfg.model.median_index]  # point forecast
 
         # ThreadingHTTPServer: stats are touched from many request threads and
         # the /stats snapshot — keep mutation and trim atomic. A separate lock
@@ -352,11 +354,15 @@ class ForecastService:
             if len(self._latencies_ms) > 10_000:  # bound memory, long-lived servers
                 del self._latencies_ms[:-5_000]
             self._count += 1
-        return {
+        out = {
             "indices": idx.tolist(),
             "forecast": phys.tolist(),
             "latency_ms": round(latency_ms, 3),
         }
+        if quantiles:
+            out["quantile_levels"] = list(quantiles)
+            out["forecast_quantiles"] = all_phys.tolist()
+        return out
 
     def stats(self) -> dict[str, Any]:
         with self._stats_lock:

@@ -1,4 +1,6 @@
-"""Huber loss (reference train.py:372: nn.HuberLoss(delta=1.0), mean reduction)."""
+"""Losses: Huber (reference train.py:372: nn.HuberLoss(delta=1.0), mean
+reduction) and pinball/quantile loss for the beyond-reference probabilistic
+head (ModelConfig.quantiles)."""
 
 from __future__ import annotations
 
@@ -18,6 +20,31 @@ def huber_loss(
     quadratic = jnp.minimum(abs_err, delta)
     linear = abs_err - quadratic
     elementwise = 0.5 * quadratic**2 + delta * linear
+    if weights is None:
+        return jnp.mean(elementwise)
+    weights = jnp.broadcast_to(weights, elementwise.shape)
+    total = jnp.sum(elementwise * weights)
+    count = jnp.maximum(jnp.sum(weights), 1.0)
+    return total / count
+
+
+def pinball_loss(
+    preds: jnp.ndarray,
+    targets: jnp.ndarray,
+    quantiles: tuple[float, ...],
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mean pinball (quantile) loss.
+
+    preds: (..., Q) one forecast per quantile level; targets: (..., 1),
+    broadcast against every level. Per level q and error e = y - p:
+    loss = max(q*e, (q-1)*e). `weights` is a broadcastable 0/1 mask like
+    huber_loss's (padded eval rows); the mean runs over weighted elements
+    and averages across levels.
+    """
+    q = jnp.asarray(quantiles, preds.dtype)  # (Q,)
+    err = targets - preds                    # (..., Q) via broadcast
+    elementwise = jnp.maximum(q * err, (q - 1.0) * err)
     if weights is None:
         return jnp.mean(elementwise)
     weights = jnp.broadcast_to(weights, elementwise.shape)

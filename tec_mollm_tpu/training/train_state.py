@@ -24,7 +24,7 @@ import optax
 from flax import struct
 
 from tec_mollm_tpu.config import Config
-from tec_mollm_tpu.training.loss import huber_loss
+from tec_mollm_tpu.training.loss import huber_loss, pinball_loss
 from tec_mollm_tpu.training.optimizer import build_optimizer, trainable_mask
 
 
@@ -103,6 +103,23 @@ def _targets_from_batch(batch: dict[str, jnp.ndarray]) -> jnp.ndarray:
     return batch["y"].transpose(0, 2, 1)[..., None]
 
 
+def _objective(preds, targets, cfg: Config, weights=None):
+    """Training/eval objective: Huber on the point forecast (reference
+    train.py:372), or mean pinball across levels in quantile mode."""
+    if cfg.model.quantiles:
+        return pinball_loss(preds, targets, cfg.model.quantiles, weights=weights)
+    return huber_loss(preds, targets, delta=cfg.train.huber_delta, weights=weights)
+
+
+def point_forecast(preds: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """(B, L_out, N, Q) -> (B, L_out, N, 1) point forecast — identity for the
+    deterministic model, the 0.5-level slice in quantile mode. Downstream
+    consumers (streaming metrics, rollout feedback, forecast CSVs) all operate
+    on this."""
+    q = cfg.model.median_index
+    return jax.lax.slice_in_dim(preds, q, q + 1, axis=-1)
+
+
 def make_loss_fn(model, cfg: Config) -> Callable:
     """loss_fn(trainable, frozen, batch, graph, rng) -> loss."""
 
@@ -118,7 +135,7 @@ def make_loss_fn(model, cfg: Config) -> Callable:
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
-        return huber_loss(preds, _targets_from_batch(batch), delta=cfg.train.huber_delta)
+        return _objective(preds, _targets_from_batch(batch), cfg)
 
     return loss_fn
 
@@ -179,7 +196,10 @@ def make_eval_step(model, cfg: Config) -> Callable:
 
     Takes the MERGED param tree. Handles padded batches via batch['valid'] so
     stride-1 validation keeps static shapes (single compilation); padded rows carry
-    zero loss weight."""
+    zero loss weight. In quantile mode `preds` carries all levels on the last
+    axis (B, L_out, N, Q) and the loss is pinball (matching the training
+    objective, so best-checkpoint selection optimizes the same thing); use
+    `point_forecast` for the 0.5-level slice."""
 
     def eval_step(params, batch: dict[str, jnp.ndarray], graph):
         neighbors, neighbor_mask = graph
@@ -196,7 +216,7 @@ def make_eval_step(model, cfg: Config) -> Callable:
         if valid is None:
             valid = jnp.ones((preds.shape[0],), dtype=bool)
         w = valid.astype(preds.dtype)[:, None, None, None]
-        loss = huber_loss(preds, targets, delta=cfg.train.huber_delta, weights=w)
+        loss = _objective(preds, targets, cfg, weights=w)
         return loss, preds, targets
 
     return eval_step

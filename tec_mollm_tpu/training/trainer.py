@@ -43,6 +43,7 @@ from tec_mollm_tpu.training.train_state import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    point_forecast,
 )
 from tec_mollm_tpu.utils.run_name import make_run_name
 
@@ -161,7 +162,16 @@ class Trainer:
         )
         self.state = state
         self._train_step = jax.jit(make_train_step(self.model, cfg, tx), donate_argnums=0)
-        self._eval_step = jax.jit(make_eval_step(self.model, cfg))
+        _eval = make_eval_step(self.model, cfg)
+
+        def _eval_point(params, batch, graph):
+            # validation streams POINT metrics; slicing the 0.5 level here keeps
+            # it inside the one jitted program (no extra per-batch dispatch,
+            # which multi-process meshes cannot afford — DESIGN §16)
+            loss, preds, trues = _eval(params, batch, graph)
+            return loss, point_forecast(preds, cfg), trues
+
+        self._eval_step = jax.jit(_eval_point)
         self.batch_sharding = batch_sharding(self.mesh, cfg.train.data_axis)
 
         self.epoch = 0

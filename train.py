@@ -58,6 +58,13 @@ def parse_args() -> argparse.Namespace:
                         "predicts the Historical-Average baseline and learns "
                         "deviations). Recorded in config.json, so eval CLIs "
                         "pick it up automatically")
+    p.add_argument("--quantiles", type=float, nargs="+", default=None,
+                   metavar="Q",
+                   help="probabilistic head (beyond-reference): train one "
+                        "forecast per quantile level with pinball loss, e.g. "
+                        "--quantiles 0.1 0.5 0.9. Must include 0.5 (the point "
+                        "forecast); eval adds pinball/calibration/coverage "
+                        "metrics. Recorded in config.json")
     # parallel / precision
     p.add_argument("--model-parallel", type=int, default=None, help="default 1")
     p.add_argument("--no-bf16", action="store_true")
@@ -121,6 +128,8 @@ def build_config(args: argparse.Namespace):
     }
     if args.revin:
         model_over["revin"] = True
+    if args.quantiles is not None:
+        model_over["quantiles"] = tuple(args.quantiles)
 
     if args.config:
         from tec_mollm_tpu.config import load_config
