@@ -455,11 +455,18 @@ def resolve_checkpoint(
     checkpoint: str, workdir: str = ".", run_name: str | None = None
 ) -> str:
     """'latest' -> most recent best_params dir (optionally within one run);
-    else use the given path."""
+    else use the given path. A relative path that does not exist from the
+    current directory but does under --workdir resolves against the workdir
+    (so `--workdir /x --checkpoint checkpoints/run/best_params` works from
+    anywhere, matching how train.py lays runs out under its workdir)."""
     if checkpoint == "latest":
         return find_latest_checkpoint(
             os.path.join(workdir, "checkpoints"), run_name=run_name
         )
+    if not os.path.isabs(checkpoint) and not os.path.exists(checkpoint):
+        in_workdir = os.path.join(workdir, checkpoint)
+        if os.path.exists(in_workdir):
+            return in_workdir
     return checkpoint
 
 

@@ -221,3 +221,17 @@ class TestMixedRunWorkdir:
         assert not warn_on_config_mismatch(
             Config(), str(root / "flagship_run" / "best_params")
         )
+
+    def test_relative_checkpoint_resolves_against_workdir(self, tmp_path):
+        """`--workdir W --checkpoint checkpoints/run/best_params` must work from
+        any cwd: a relative path missing from cwd but present under the workdir
+        resolves against the workdir (regression: the round-3 TPU queue ran all
+        its eval steps from /tmp and every one 404'd)."""
+        from tec_mollm_tpu.evaluation.harness import resolve_checkpoint
+
+        root = self._two_runs(tmp_path)
+        rel = os.path.join("checkpoints", "tiny_run", "best_params")
+        got = resolve_checkpoint(rel, workdir=str(tmp_path))
+        assert got == os.path.join(str(tmp_path), rel)
+        # absolute and existing-relative paths are untouched
+        assert resolve_checkpoint(got, workdir="/nonexistent") == got
