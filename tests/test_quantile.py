@@ -47,6 +47,17 @@ class TestConfigContract:
         assert point.model.num_outputs == 1
         assert point.model.median_index == 0
 
+    def test_json_round_trip(self):
+        """config.json written by train.py --quantiles must restore a usable
+        tuple (jit static args require hashability)."""
+        from tec_mollm_tpu.config import Config
+
+        cfg = quantile_cfg()
+        back = Config.from_json(cfg.to_json()).resolved()
+        assert back.model.quantiles == QLEVELS
+        assert isinstance(back.model.quantiles, tuple)
+        assert back.model.median_index == 1
+
     @pytest.mark.parametrize(
         "bad",
         [
