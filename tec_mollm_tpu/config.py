@@ -207,6 +207,14 @@ class TrainConfig:
     # (157.5 w/s at B=32 < 162.0 at B=16, BASELINE.md); memory-bound presets
     # override it (scale_up: eval at B=16 exceeds single-chip v5e HBM).
     eval_batch_size: int = 16
+    # Mid-epoch checkpoint cadence in macro steps (0 = epoch boundaries only).
+    # At archive scale one epoch is tens of minutes of wall (BASELINE.md 13-year
+    # rows: 61 min) and hard failures (tunnel death, SIGKILL) get no signal —
+    # a periodic resumable save bounds the loss to N steps. Collective-safe on
+    # multihost pods: every host executes the same step count, so all enter the
+    # save together. Resume re-derives the epoch's deterministic order and
+    # skips the already-trained batches (BatchLoader.iter_from).
+    checkpoint_every_steps: int = 0
 
 
 @dataclass(frozen=True)

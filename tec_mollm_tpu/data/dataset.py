@@ -176,20 +176,20 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _batches(self) -> Iterator[dict[str, np.ndarray]]:
+    def _batches(self, start_step: int = 0) -> Iterator[dict[str, np.ndarray]]:
         order, shard_pad = self._epoch_indices()
         # index-level validity: the trailing shard_pad entries are repeats
         valid_all = np.ones(len(order), dtype=bool)
         if shard_pad:
             valid_all[len(order) - shard_pad :] = False
         n_full = len(order) // self.batch_size
-        for b in range(n_full):
+        for b in range(start_step, n_full):
             sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
             batch = self.dataset.gather_batch(order[sl])
             batch["valid"] = valid_all[sl].copy()
             yield batch
         rem = len(order) - n_full * self.batch_size
-        if rem and not self.drop_remainder:
+        if rem and not self.drop_remainder and start_step <= n_full:
             idxs = order[n_full * self.batch_size :]
             pad = np.concatenate([idxs, np.repeat(idxs[-1:], self.batch_size - rem)])
             batch = self.dataset.gather_batch(pad)
@@ -199,8 +199,16 @@ class BatchLoader:
             yield batch
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_step: int = 0) -> Iterator[dict[str, np.ndarray]]:
+        """Iterate this epoch's batches starting at batch index `start_step`
+        (mid-epoch resume: the epoch's order is a pure function of seed+epoch,
+        so skipping the first k batches reproduces exactly the continuation the
+        interrupted run would have seen — nothing is gathered for the skipped
+        ones)."""
         if self.prefetch <= 0:
-            yield from self._batches()
+            yield from self._batches(start_step)
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -208,7 +216,7 @@ class BatchLoader:
 
         def producer():
             try:
-                for batch in self._batches():
+                for batch in self._batches(start_step):
                     q.put(batch)
             except BaseException as e:  # propagate into consumer
                 error.append(e)

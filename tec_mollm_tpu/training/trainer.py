@@ -219,12 +219,28 @@ class Trainer:
             }
         return jax.tree.map(lambda x: jax.device_put(x, self.batch_sharding), arrays)
 
-    def train_epoch(self) -> dict[str, float]:
+    def train_epoch(
+        self,
+        start_step: int = 0,
+        stop_requested: dict[str, bool] | None = None,
+    ) -> dict[str, float]:
+        """One (possibly partial) training epoch.
+
+        start_step > 0 resumes a mid-epoch checkpoint: the epoch's batch order
+        is a pure function of seed+epoch, so skipping the first k batches
+        continues exactly where the interrupted run stopped. `stop_requested`
+        is polled each macro step on single-process runs (a signal mid-epoch
+        checkpoints within one step instead of waiting for the epoch boundary);
+        multi-process keeps epoch-boundary stop semantics — the flag is
+        host-local and a lone host breaking out of the collective step sequence
+        would wedge its peers."""
         self.train_loader.set_epoch(self.epoch)
         device_losses = []
-        steps = 0
+        steps = start_step
+        interrupted = False
+        ckpt_every = self.cfg.train.checkpoint_every_steps
         t0 = time.perf_counter()
-        for batch in self.train_loader:
+        for batch in self.train_loader.iter_from(start_step):
             self.state, metrics = self._train_step(
                 self.state, self._put(batch), self.graph_dev
             )
@@ -238,6 +254,16 @@ class Trainer:
                 # of the epoch stays pinned on the host (OOM at archive scale —
                 # see TrainConfig.host_sync_every)
                 float(metrics["loss"])
+            if ckpt_every and steps % ckpt_every == 0:
+                # every host reaches the same step count -> collective-safe
+                self._save_latest(step_in_epoch=steps)
+            if (
+                stop_requested is not None
+                and stop_requested["flag"]
+                and jax.process_count() == 1
+            ):
+                interrupted = True
+                break
         # same two-regime reduction as validate() (DESIGN §16): multi-process
         # must not dispatch eager multi-host adds on top of outstanding
         # collectives (deadlocks XLA:CPU's bounded inflight queue) — read the
@@ -250,10 +276,13 @@ class Trainer:
         else:
             total_loss = 0.0
         dt = time.perf_counter() - t0
-        windows = steps * self.macro_batch
+        steps_this_run = steps - start_step
+        windows = steps_this_run * self.macro_batch
         return {
-            "train_loss": total_loss / max(steps, 1),
-            "updates": steps,
+            "train_loss": total_loss / max(steps_this_run, 1),
+            "updates": steps_this_run,
+            "steps_in_epoch": steps,
+            "interrupted": interrupted,
             "windows_per_sec": windows / dt if dt > 0 else 0.0,
         }
 
@@ -302,13 +331,31 @@ class Trainer:
         avg_loss = total / max(count, 1.0)
         return avg_loss, acc.finalize()
 
+    def _save_latest(self, step_in_epoch: int = 0) -> None:
+        """Resumable 'latest' checkpoint. step_in_epoch=0 means the epoch is
+        COMPLETE (resume starts at epoch+1, the historical semantics); k>0
+        means k macro steps of self.epoch are already applied (resume re-enters
+        the same epoch at batch k via BatchLoader.iter_from)."""
+        self.ckpt.save_state(
+            self.state,
+            {
+                "epoch": self.epoch,
+                "step_in_epoch": step_in_epoch,
+                "best_val_loss": self.best_val_loss,
+                "patience_counter": self.patience_counter,
+                "config": json.loads(self.cfg.to_json()),
+            },
+            "latest",
+        )
+
     # ------------------------------------------------------------------
 
     def fit(self, resume: bool = False) -> list[dict[str, Any]]:
         cfg = self.cfg
-        # graceful shutdown: SIGTERM/SIGINT finish the current epoch, checkpoint,
-        # and exit resumable (the reference has no failure handling beyond
-        # try/finally destroy_process_group, SURVEY.md §5)
+        # graceful shutdown: SIGTERM/SIGINT finish the current MACRO STEP
+        # (single-process; current epoch on multi-process pods — the flag is
+        # host-local), checkpoint resumable, and exit (the reference has no
+        # failure handling beyond try/finally destroy_process_group, SURVEY §5)
         import signal
 
         stop_requested = {"flag": False}
@@ -334,17 +381,40 @@ class Trainer:
         self, resume: bool, stop_requested: dict[str, bool]
     ) -> list[dict[str, Any]]:
         cfg = self.cfg
+        start_step = 0
         if resume and self.ckpt.has_checkpoint("latest"):
             self.state, meta = self.ckpt.restore_state(self.state, "latest")
-            self.epoch = meta["epoch"] + 1
+            start_step = meta.get("step_in_epoch", 0)
+            self.epoch = meta["epoch"] + (0 if start_step else 1)
             self.best_val_loss = meta["best_val_loss"]
             self.patience_counter = meta["patience_counter"]
-            logger.info("Resumed from epoch %d (best val %.6f)", self.epoch, self.best_val_loss)
+            if start_step:
+                logger.info(
+                    "Resumed mid-epoch: epoch %d at macro step %d (best val %.6f)",
+                    self.epoch, start_step, self.best_val_loss,
+                )
+            else:
+                logger.info(
+                    "Resumed from epoch %d (best val %.6f)",
+                    self.epoch, self.best_val_loss,
+                )
 
         is_main = jax.process_index() == 0
         for epoch in range(self.epoch, cfg.train.epochs):
             self.epoch = epoch
-            train_stats = self.train_epoch()
+            train_stats = self.train_epoch(start_step, stop_requested)
+            start_step = 0  # only the resumed epoch starts mid-way
+            interrupted = train_stats.pop("interrupted")
+            if interrupted:
+                # mid-epoch stop: checkpoint WITH the intra-epoch position and
+                # exit resumable; no validation on a partial epoch
+                self._save_latest(step_in_epoch=train_stats["steps_in_epoch"])
+                if is_main:
+                    logger.warning(
+                        "stopping mid-epoch %d after %d step(s) on signal "
+                        "(resumable)", epoch, train_stats["steps_in_epoch"],
+                    )
+                break
             record: dict[str, Any] = {"epoch": epoch, **train_stats}
 
             if self.val_loader is not None:
@@ -384,16 +454,7 @@ class Trainer:
 
             # val_loss is identical on every host (computed from global arrays), so
             # best/patience stay in lockstep and all hosts enter the collective save
-            self.ckpt.save_state(
-                self.state,
-                {
-                    "epoch": epoch,
-                    "best_val_loss": self.best_val_loss,
-                    "patience_counter": self.patience_counter,
-                    "config": json.loads(cfg.to_json()),
-                },
-                "latest",
-            )
+            self._save_latest(step_in_epoch=0)
             if is_main:
                 self.history.append(record)
                 with open(self._history_path, "a") as f:

@@ -49,6 +49,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--patience", type=int, default=None, help="default 20")
     p.add_argument("--min-delta", type=float, default=None, help="default 1e-4")
     p.add_argument("--seed", type=int, default=None, help="default 0")
+    p.add_argument("--checkpoint-every-steps", type=int, default=None,
+                   help="mid-epoch resumable checkpoint every N macro steps "
+                        "(default 0 = epoch boundaries only); bounds the work "
+                        "lost to hard failures on long epochs")
     # model
     p.add_argument("--d-emb", type=int, default=None, help="default 16")
     p.add_argument("--llm-layers", type=int, default=None, help="default 3")
@@ -113,6 +117,7 @@ def build_config(args: argparse.Namespace):
             "patience": args.patience,
             "min_delta": args.min_delta,
             "seed": args.seed,
+            "checkpoint_every_steps": args.checkpoint_every_steps,
             "model_parallel": args.model_parallel,
         }.items()
         if v is not None
