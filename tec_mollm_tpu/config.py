@@ -164,6 +164,12 @@ class TrainConfig:
     huber_delta: float = 1.0
     train_stride: int = 12
     val_stride: int = 1
+    # Keep only the chronologically last fraction of validation windows for
+    # model selection (1.0 = the reference's full-period validation). Under
+    # distribution shift the val tail is the closest proxy for the test epoch:
+    # on the solar-cycle archive full-period val RANKED THE ARMS BACKWARDS
+    # (BASELINE.md "RevIN under distribution shift").
+    val_tail_frac: float = 1.0
     patience: int = 20
     min_delta: float = 1e-4
     # CosineAnnealingWarmRestarts(T_0=10, T_mult=2, eta_min=1e-7), stepped once per

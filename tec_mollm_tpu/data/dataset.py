@@ -36,6 +36,7 @@ class SlidingWindowDataset:
         L_out: int,
         stride: int = 1,
         use_native: bool | None = None,
+        tail_frac: float = 1.0,
     ):
         self.X = np.ascontiguousarray(data["X"], dtype=np.float32)
         self.Y = np.ascontiguousarray(data["Y"], dtype=np.float32)
@@ -59,16 +60,36 @@ class SlidingWindowDataset:
             if max_start > 0
             else np.zeros((0,), dtype=np.int64)
         )
+        # tail_frac < 1 keeps only the chronologically LAST fraction of windows:
+        # under distribution shift (solar cycle) the split's tail is the closest
+        # proxy for the deployment epoch, and selecting checkpoints on the full
+        # in-distribution val period misranks arms (BASELINE.md "RevIN under
+        # distribution shift": sc3 base had the better full-period val yet lost
+        # the shifted test by 21 MAE points).
+        if not 0.0 < tail_frac <= 1.0:
+            raise ValueError(f"tail_frac must be in (0, 1], got {tail_frac}")
+        self.tail_frac = tail_frac
+        if tail_frac < 1.0 and len(self.sample_indices):
+            keep = max(1, int(np.ceil(tail_frac * len(self.sample_indices))))
+            self.sample_indices = self.sample_indices[-keep:]
 
     @classmethod
-    def from_dir(cls, data_dir: str, mode: str, L_in: int, L_out: int, stride: int = 1):
+    def from_dir(
+        cls,
+        data_dir: str,
+        mode: str,
+        L_in: int,
+        L_out: int,
+        stride: int = 1,
+        tail_frac: float = 1.0,
+    ):
         """Load '{mode}_set.npz' written by the preprocess CLI."""
         import os
 
         path = os.path.join(data_dir, f"{mode}_set.npz")
         with np.load(path) as d:
             data = {k: d[k] for k in ("X", "Y", "time_features")}
-        return cls(data, L_in=L_in, L_out=L_out, stride=stride)
+        return cls(data, L_in=L_in, L_out=L_out, stride=stride, tail_frac=tail_frac)
 
     def __len__(self) -> int:
         return len(self.sample_indices)

@@ -265,6 +265,33 @@ class TestSlidingWindow:
         ds2 = SlidingWindowDataset(data, L_in=16, L_out=4, stride=12)
         assert len(ds2) == len(range(0, 50 - 16 - 4 + 1, 12))
 
+    def test_tail_frac_keeps_chronological_tail(self):
+        data = self._make(T=50)
+        full = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1)
+        tail = SlidingWindowDataset(data, L_in=16, L_out=4, stride=1, tail_frac=0.25)
+        keep = int(np.ceil(0.25 * len(full)))
+        assert len(tail) == keep
+        np.testing.assert_array_equal(
+            tail.sample_indices, full.sample_indices[-keep:]
+        )
+        # the last window is identical in both views
+        np.testing.assert_array_equal(tail[len(tail) - 1]["x"], full[len(full) - 1]["x"])
+
+    def test_tail_frac_composes_with_stride_and_never_empties(self):
+        data = self._make(T=50)
+        strided = SlidingWindowDataset(data, L_in=16, L_out=4, stride=12)
+        tiny = SlidingWindowDataset(
+            data, L_in=16, L_out=4, stride=12, tail_frac=1e-6
+        )
+        assert len(tiny) == 1  # clamps to at least one window
+        assert tiny.sample_indices[0] == strided.sample_indices[-1]
+
+    def test_tail_frac_validates_range(self):
+        data = self._make(T=50)
+        for bad in (0.0, -0.5, 1.5):
+            with pytest.raises(ValueError, match="tail_frac"):
+                SlidingWindowDataset(data, L_in=16, L_out=4, tail_frac=bad)
+
     def test_item_contents(self):
         data = self._make(T=50)
         ds = SlidingWindowDataset(data, L_in=16, L_out=4, stride=3)

@@ -39,6 +39,12 @@ def parse_args() -> argparse.Namespace:
                         "train.py:289; coarser strides cut per-epoch validation "
                         "cost on full-scale archives — final test.py eval stays "
                         "stride 1)")
+    p.add_argument("--val-tail-frac", type=float, default=None,
+                   help="select checkpoints on only the chronologically last "
+                        "fraction of validation windows (default 1.0 = full "
+                        "period). Under distribution shift (solar cycle) the "
+                        "val tail proxies the test epoch; full-period val can "
+                        "rank arms backwards (BASELINE.md)")
     # training (reference defaults, train.py:170-198)
     p.add_argument("--epochs", type=int, default=None, help="default 50")
     p.add_argument("--batch-size", type=int, default=None,
@@ -109,6 +115,7 @@ def build_config(args: argparse.Namespace):
             "L_out": args.L_out,
             "train_stride": args.train_stride,
             "val_stride": args.val_stride,
+            "val_tail_frac": args.val_tail_frac,
             "epochs": args.epochs,
             "batch_size": args.batch_size,
             "accumulation_steps": args.accumulation_steps,
@@ -176,7 +183,8 @@ def main() -> None:
         data_dir, "train", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.train_stride
     )
     val_ds = SlidingWindowDataset.from_dir(
-        data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.val_stride
+        data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.val_stride,
+        tail_frac=cfg.train.val_tail_frac,
     )
     if len(val_ds) == 0:
         logger.warning("validation split empty; training without validation")
