@@ -769,10 +769,20 @@ def run_evaluation(
     run_name: str | None = None,
     baselines: tuple[str, ...] = (),
     sarima_season: int = 12,
+    split: str = "test",
+    tail_frac: float = 1.0,
 ) -> dict[str, Any]:
+    """Score a checkpoint (and baselines) on a processed split.
+
+    `split`/`tail_frac` default to the reference's behavior (full test split,
+    reference test.py:120-170). Scoring the VAL split's tail is the model-
+    selection probe for distribution shift (BASELINE.md "RevIN under
+    distribution shift": full-period val ranked the solar-cycle arms
+    backwards)."""
     cfg = cfg.resolved()
     test_ds = SlidingWindowDataset.from_dir(
-        data_dir, "test", cfg.train.L_in, cfg.train.L_out, stride=1
+        data_dir, split, cfg.train.L_in, cfg.train.L_out, stride=1,
+        tail_frac=tail_frac,
     )
     graph = GraphData.load(os.path.join(data_dir, "graph.npz"))
     tscaler_path = os.path.join(data_dir, "target_scaler.npz")
@@ -783,7 +793,11 @@ def run_evaluation(
     warn_on_config_mismatch(cfg, ckpt_path)
     params = load_params_for_eval(cfg, ckpt_path, graph)
 
-    logger.info("running model inference over %d test windows", len(test_ds))
+    logger.info(
+        "running model inference over %d %s windows%s",
+        len(test_ds), split,
+        f" (tail {tail_frac:g} of the split)" if tail_frac < 1.0 else "",
+    )
     # both paths stream: each batch reduces to (L_out, 8) sufficient statistics,
     # so stride-1 full-split eval needs O(batch) host memory
     model_metrics = evaluate_model_streaming(

@@ -38,6 +38,13 @@ def main() -> None:
                         "(1,1,1,s) fitted on the train split")
     p.add_argument("--sarima-season", type=int, default=12,
                    help="seasonal period s for --baseline sarima")
+    p.add_argument("--split", default="test", choices=["train", "val", "test"],
+                   help="which processed split to score (default test, the "
+                        "reference's behavior). '--split val --tail-frac 0.3' "
+                        "is the shift-aware model-selection probe")
+    p.add_argument("--tail-frac", type=float, default=1.0,
+                   help="score only the chronologically last fraction of the "
+                        "split's windows (default 1.0 = all)")
     p.add_argument("--rollout-steps", type=int, default=0,
                    help="also run an autoregressive rollout eval this many steps "
                         "beyond L_out (predictions fed back as inputs)")
@@ -81,6 +88,8 @@ def main() -> None:
         run_name=args.run_name,
         baselines=tuple(args.baseline),
         sarima_season=args.sarima_season,
+        split=args.split,
+        tail_frac=args.tail_frac,
     )
 
     if args.rollout_steps > 0:

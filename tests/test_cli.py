@@ -104,6 +104,25 @@ class TestCLIPipeline:
         csv = (wd / "results" / "evaluation_results.csv").read_text().splitlines()
         assert len(csv) == 3  # header + 2 models
 
+    def test_evaluate_val_tail(self, workdir):
+        """--split val --tail-frac: the shift-aware model-selection probe
+        scores only the chronological tail of the validation split."""
+        wd, cfg = workdir
+        proc = run_cli(
+            [
+                os.path.join(REPO, "test.py"),
+                "--config", "config.json", "--data-dir", "proc",
+                "--workdir", ".", "--checkpoint", "latest",
+                "--split", "val", "--tail-frac", "0.5",
+                "--output-dir", "results_valtail", "--cpu",
+            ],
+            cwd=str(wd),
+        )
+        out = proc.stdout + proc.stderr
+        assert "val windows (tail 0.5" in out
+        summary = (wd / "results_valtail" / "evaluation_summary.txt").read_text()
+        assert "TEC-MoLLM" in summary
+
     def test_predict(self, workdir):
         """Forecast CLI: checkpoint -> physical-unit forecast npz."""
         wd, cfg = workdir

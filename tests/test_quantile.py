@@ -164,6 +164,39 @@ class TestQuantileModel:
             np.asarray(pt)[..., 0], np.asarray(preds)[..., cfg.model.median_index]
         )
 
+    def test_composes_with_revin(self, qtrain_setup):
+        """--revin --quantiles together: the affine inverse (sd>0) keeps the
+        sorted levels monotone, and with the head's output layer zeroed every
+        level collapses exactly to the per-window mean — the HA starting
+        point that makes RevIN useful under level shift."""
+        cfg, _, ds, graph, state, _, _ = qtrain_setup
+        model = TECMoLLM(dataclasses.replace(cfg.model, revin=True))
+        batch = jax.tree.map(jnp.asarray, ds.gather_batch(np.arange(2)))
+        preds = model.apply(
+            {"params": state.params},
+            batch["x"], batch["time_features"], *graph, deterministic=True,
+        )
+        p = np.asarray(preds)
+        assert p.shape[-1] == 3
+        assert np.all(np.diff(p, axis=-1) >= 0)
+
+        zeroed = jax.tree_util.tree_map_with_path(
+            lambda path, v: jnp.zeros_like(v)
+            if any(getattr(k, "key", None) == "fc2" for k in path)
+            else v,
+            state.params,
+        )
+        out = np.asarray(
+            model.apply(
+                {"params": zeroed},
+                batch["x"], batch["time_features"], *graph, deterministic=True,
+            )
+        )
+        ha = np.asarray(batch["x"])[..., 0].mean(axis=1)  # (B, N)
+        np.testing.assert_allclose(
+            out, np.broadcast_to(ha[:, None, :, None], out.shape), atol=1e-5
+        )
+
     def test_train_step_decreases_pinball(self, qtrain_setup):
         cfg, model, ds, graph, state, tx, _ = qtrain_setup
         step = jax.jit(make_train_step(model, cfg, tx))
