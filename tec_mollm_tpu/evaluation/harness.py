@@ -196,14 +196,16 @@ def get_model_predictions(
             "host and is single-process only; use evaluate_model_streaming on "
             "multi-process meshes"
         )
+    from tec_mollm_tpu.training.train_state import point_forecast
+
     ex = EvalExecutor(cfg, graph, params, batch_size)
     preds_all, trues_all = [], []
     for batch in ex.loader(dataset):
         valid = np.asarray(batch["valid"])
         _, preds, trues, _ = ex.run(batch)
         if cfg.model.quantiles:
-            from tec_mollm_tpu.training.train_state import point_forecast
-
+            # device slice (cheap async enqueue) so only the point level is
+            # read back below, not the Q-wide tensor
             preds = point_forecast(preds, cfg)  # keep the (.., 1) contract
         preds_all.append(np.asarray(preds)[valid])
         trues_all.append(np.asarray(trues)[valid])
@@ -395,6 +397,7 @@ def write_results(
             ]
             f.write(name + "," + ",".join(vals) + "\n")
 
+    qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
     txt_path = os.path.join(output_dir, "evaluation_summary.txt")
     with open(txt_path, "w") as f:
         f.write("TEC-MoLLM evaluation summary\n")
@@ -408,7 +411,6 @@ def write_results(
         f.write("Improvement vs HistoricalAverage:\n")
         for k, v in improvements.items():
             f.write(f"  {k}: {v:+.2f}%\n")
-        qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
         if qm:
             f.write("\nProbabilistic forecast (quantile head):\n")
             f.write(f"  levels:       {qm['quantiles']}\n")
@@ -424,7 +426,6 @@ def write_results(
                     f"{qm['interval_nominal']:.3f} nominal\n"
                 )
 
-    qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
     if qm:
         qcsv = os.path.join(output_dir, "quantile_metrics.csv")
         n_h = len(qm["pinball_by_horizon"])

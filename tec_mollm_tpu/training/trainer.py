@@ -50,6 +50,23 @@ from tec_mollm_tpu.utils.run_name import make_run_name
 logger = logging.getLogger(__name__)
 
 
+def _sync_stop_flag(flag: bool) -> bool:
+    """Agree on a stop decision across processes: ANY host's signal stops all.
+
+    Signals are per-process, so the stop flag is host-local; acting on it
+    directly at the epoch boundary would desync a pod — the signaled host
+    exits while its peers enter the next epoch and wedge in its first
+    collective. Called right after the epoch-boundary collective save, which
+    has drained outstanding work, so one more tiny all-gather is safe (cf.
+    validate()'s inflight-queue note)."""
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(flag, dtype=np.int32))
+    return bool(np.asarray(flags).any())
+
+
 class Trainer:
     def __init__(
         self,
@@ -344,18 +361,53 @@ class Trainer:
                 "best_val_loss": self.best_val_loss,
                 "patience_counter": self.patience_counter,
                 "config": json.loads(self.cfg.to_json()),
+                # a mid-epoch position is only meaningful under the same data
+                # sharding — checked by _check_resume_geometry on resume
+                "process_count": jax.process_count(),
             },
             "latest",
         )
+
+    def _check_resume_geometry(self, meta: dict[str, Any]) -> None:
+        """Refuse a mid-epoch resume under a different batch geometry.
+
+        step_in_epoch counts MACRO steps of a specific (batch_size,
+        accumulation_steps, train_stride, seed, process_count) tuple: the
+        epoch's window order and the windows-per-step are pure functions of
+        those. Skipping `step_in_epoch` batches of a DIFFERENT size would
+        silently skip or double-train windows with no error anywhere else."""
+        saved = meta.get("config", {}).get("train", {})
+        cur = json.loads(self.cfg.to_json())["train"]
+        diffs = {
+            k: (saved[k], cur[k])
+            for k in ("batch_size", "accumulation_steps", "train_stride", "seed")
+            if k in saved and saved[k] != cur[k]
+        }
+        saved_pc = meta.get("process_count")
+        if saved_pc is not None and saved_pc != jax.process_count():
+            diffs["process_count"] = (saved_pc, jax.process_count())
+        if diffs:
+            detail = ", ".join(
+                f"{k}: saved {a} vs current {b}" for k, (a, b) in diffs.items()
+            )
+            raise RuntimeError(
+                "mid-epoch resume with a different batch geometry would "
+                f"silently skip or double-train windows ({detail}). Resume "
+                "with the checkpoint's original settings (its config.json / "
+                "latest.meta.json records them), or restart from the last "
+                "epoch-boundary checkpoint."
+            )
 
     # ------------------------------------------------------------------
 
     def fit(self, resume: bool = False) -> list[dict[str, Any]]:
         cfg = self.cfg
         # graceful shutdown: SIGTERM/SIGINT finish the current MACRO STEP
-        # (single-process; current epoch on multi-process pods — the flag is
-        # host-local), checkpoint resumable, and exit (the reference has no
-        # failure handling beyond try/finally destroy_process_group, SURVEY §5)
+        # (single-process; current epoch on multi-process pods — the host-local
+        # flags are all-reduced at the epoch boundary via _sync_stop_flag so a
+        # signal delivered to one host stops every host together), checkpoint
+        # resumable, and exit (the reference has no failure handling beyond
+        # try/finally destroy_process_group, SURVEY §5)
         import signal
 
         stop_requested = {"flag": False}
@@ -385,6 +437,8 @@ class Trainer:
         if resume and self.ckpt.has_checkpoint("latest"):
             self.state, meta = self.ckpt.restore_state(self.state, "latest")
             start_step = meta.get("step_in_epoch", 0)
+            if start_step:
+                self._check_resume_geometry(meta)
             self.epoch = meta["epoch"] + (0 if start_step else 1)
             self.best_val_loss = meta["best_val_loss"]
             self.patience_counter = meta["patience_counter"]
@@ -463,7 +517,9 @@ class Trainer:
             if self.patience_counter >= cfg.train.patience:
                 logger.info("early stopping at epoch %d", epoch + 1)
                 break
-            if stop_requested["flag"]:
+            # every host reaches this point in lockstep (the breaks above are
+            # driven by globally-identical values), so the flag sync is safe
+            if _sync_stop_flag(stop_requested["flag"]):
                 logger.warning("stopping after epoch %d on signal (resumable)", epoch)
                 break
         return self.history

@@ -54,6 +54,11 @@ def main() -> None:
                    help="after fit, drive run_evaluation + run_prediction "
                         "(the test.py/predict.py code paths) under this "
                         "multi-process topology and record their outputs")
+    p.add_argument("--stop-signal-epoch", type=int, default=None,
+                   help="process 0 ONLY: SIGTERM itself once its trainer "
+                        "reaches this epoch — exercises the host-local-signal "
+                        "-> _sync_stop_flag -> joint-stop path (a desync here "
+                        "wedges the peer in the next epoch's first collective)")
     args = p.parse_args()
 
     jax.distributed.initialize(
@@ -98,6 +103,20 @@ def main() -> None:
         cfg, train_ds, val_ds, graph, scaler,
         workdir=args.workdir, run_name="mh_run",
     )
+    if args.stop_signal_epoch is not None and args.process_id == 0:
+        # deliver a REAL signal to this host only, once the epoch counter
+        # reaches the target (fit() has installed its handler long before the
+        # loop's second iteration starts)
+        import signal
+        import threading
+        import time
+
+        def _signal_when_reached():
+            while trainer.epoch < args.stop_signal_epoch:
+                time.sleep(0.05)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        threading.Thread(target=_signal_when_reached, daemon=True).start()
     history = trainer.fit(resume=args.resume)
 
     out = {

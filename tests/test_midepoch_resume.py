@@ -155,6 +155,36 @@ class TestMidEpochResume:
         # resumed from step 4 (the last periodic save), retrained 5..7
         assert history[-1]["updates"] == 3
 
+    def test_changed_batch_geometry_refused(self, split, tiny_graph, tmp_path):
+        """A mid-epoch position counts macro steps of a specific batch
+        geometry; resuming with a different one would silently skip or
+        double-train windows — it must refuse loudly instead."""
+        cfg = _cfg()
+        a = _trainer(cfg, split, tiny_graph, tmp_path / "a")
+        a.train_epoch(0, _StopAfter(3))
+        a._save_latest(step_in_epoch=3)
+
+        def _with(**over):
+            return dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, **over)
+            ).resolved()
+
+        for field, value in (
+            ("batch_size", 4), ("accumulation_steps", 1),
+            ("train_stride", 2), ("seed", 9),
+        ):
+            b = _trainer(_with(**{field: value}), split, tiny_graph, tmp_path / "a")
+            with pytest.raises(RuntimeError, match="batch geometry.*" + field):
+                b.fit(resume=True)
+
+        # epoch-BOUNDARY checkpoints stay geometry-independent: the same
+        # changed config resumes fine from a step_in_epoch=0 save
+        a._save_latest(step_in_epoch=0)
+        c = _trainer(
+            _with(batch_size=4, epochs=2), split, tiny_graph, tmp_path / "a"
+        )
+        c.fit(resume=True)
+
     def test_boundary_save_still_resumes_next_epoch(
         self, split, tiny_graph, tmp_path
     ):

@@ -39,6 +39,7 @@ def _free_port() -> int:
 def _spawn_workers(
     data_dir: str, workdir: str, epochs: int,
     resume: bool = False, post_eval: bool = False,
+    stop_signal_epoch: int | None = None,
 ):
     port = _free_port()
     env = dict(os.environ)
@@ -60,6 +61,8 @@ def _spawn_workers(
             args.append("--resume")
         if post_eval:
             args.append("--post-eval")
+        if stop_signal_epoch is not None:
+            args += ["--stop-signal-epoch", str(stop_signal_epoch)]
         procs.append(
             subprocess.Popen(
                 args, env=env, cwd=REPO,
@@ -256,3 +259,26 @@ class TestTwoProcessTraining:
         )
         # training continued downhill from the restored state
         assert resumed[0]["val_loss"] <= mh_history[-1]["val_loss"] * 1.05
+
+    def test_signal_to_one_host_stops_all_hosts(self, data_dir, tmp_path):
+        """A SIGTERM delivered to ONE host (per-host process groups are the
+        normal delivery) must stop the whole pod together at the epoch
+        boundary via _sync_stop_flag. Before the sync existed, the signaled
+        host exited while its peer entered the next epoch and wedged in its
+        first collective — this test times out in that failure mode."""
+        mh_dir = str(tmp_path / "sig")
+        os.makedirs(mh_dir)
+        results = _spawn_workers(
+            data_dir, mh_dir, epochs=6, stop_signal_epoch=1
+        )
+        # both processes exited cleanly (enforced by _spawn_workers) in the
+        # SAME epoch, well before the nominal 6
+        assert results[0]["final_epoch"] == results[1]["final_epoch"]
+        assert results[0]["final_epoch"] <= 3
+        # and left a resumable collective checkpoint behind
+        ckpt_root = os.path.join(mh_dir, "checkpoints", "mh_run")
+        assert os.path.exists(os.path.join(ckpt_root, "latest.meta.json"))
+        with open(os.path.join(ckpt_root, "latest.meta.json")) as f:
+            meta = json.load(f)
+        assert meta["epoch"] == results[0]["final_epoch"]
+        assert meta["process_count"] == 2
