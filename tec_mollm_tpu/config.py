@@ -213,6 +213,13 @@ class TrainConfig:
     # (157.5 w/s at B=32 < 162.0 at B=16, BASELINE.md); memory-bound presets
     # override it (scale_up: eval at B=16 exceeds single-chip v5e HBM).
     eval_batch_size: int = 16
+    # Exponential moving average of the trainable parameters (beyond-reference;
+    # standard production-forecasting tool). 0.0 = off. When set (e.g. 0.999),
+    # validation, best-checkpoint selection, and the saved best params all use
+    # the EMA weights; the raw weights keep training. The EMA tracks ONLY the
+    # trainable tree (~3M params) and is initialized AT the initial weights
+    # (no zero-debias needed), so the added step cost is a few elementwise ops.
+    ema_decay: float = 0.0
     # Mid-epoch checkpoint cadence in macro steps (0 = epoch boundaries only).
     # At archive scale one epoch is tens of minutes of wall (BASELINE.md 13-year
     # rows: 61 min) and hard failures (tunnel death, SIGKILL) get no signal —
@@ -261,6 +268,10 @@ class Config:
             prediction_horizon=self.train.L_out,
         )
         model.validate()
+        if not 0.0 <= self.train.ema_decay < 1.0:
+            raise ValueError(
+                f"ema_decay must lie in [0, 1), got {self.train.ema_decay}"
+            )
         return dataclasses.replace(self, model=model)
 
     # ---- JSON round-trip so train/eval/bench share one file ----

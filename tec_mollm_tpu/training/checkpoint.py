@@ -42,13 +42,19 @@ def _host_local(tree: Any) -> Any:
 
 
 def _to_saveable(state: TrainState) -> dict[str, Any]:
-    return {
+    out = {
         "step": state.step,
         "trainable": state.trainable,
         "frozen": state.frozen,
         "opt_state": state.opt_state,
         "rng": jax.random.key_data(state.rng),
     }
+    # only present when ema_decay > 0 — non-EMA checkpoints keep the historical
+    # layout (old checkpoints restore unchanged; an EMA run resumed without
+    # --ema-decay fails structurally, which restore_state reports actionably)
+    if state.ema is not None:
+        out["ema"] = state.ema
+    return out
 
 
 def _from_saveable(tree: dict[str, Any], rng_like: jax.Array) -> TrainState:
@@ -59,6 +65,7 @@ def _from_saveable(tree: dict[str, Any], rng_like: jax.Array) -> TrainState:
         opt_state=tree["opt_state"],
         # wrap with the template's PRNG impl (rbg vs threefry key_data differ)
         rng=jax.random.wrap_key_data(tree["rng"], impl=jax.random.key_impl(rng_like)),
+        ema=tree.get("ema"),
     )
 
 
@@ -127,7 +134,9 @@ class CheckpointManager:
                 "checkpoint). If configs match and the checkpoint predates an "
                 "optimizer-layout change, set TrainConfig.flatten_optimizer to "
                 "the setting it was saved with (flattened moments = one vector "
-                "per moment; unflattened = per-parameter trees) and retry."
+                "per moment; unflattened = per-parameter trees) and retry. An "
+                "EMA mismatch also changes the structure: resume with the same "
+                "--ema-decay on/off state the checkpoint was trained with."
             ) from e
         with open(path + ".meta.json") as f:
             meta = json.load(f)

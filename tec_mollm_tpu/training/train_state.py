@@ -52,11 +52,23 @@ class TrainState(struct.PyTreeNode):
     frozen: Any                  # frozen params (None placeholders in trainable)
     opt_state: Any
     rng: jax.Array               # dropout rng, folded per step
+    # exponential moving average of `trainable` when TrainConfig.ema_decay > 0,
+    # else None (keeps the pytree structure — and old checkpoints — unchanged
+    # for non-EMA runs)
+    ema: Any = None
 
     @property
     def params(self) -> Any:
         """Merged full parameter tree (for eval / checkpoint / inspection)."""
         return merge_params(self.trainable, self.frozen)
+
+    @property
+    def eval_params(self) -> Any:
+        """Parameters evaluation should use: the EMA weights when tracked
+        (validation/best-checkpoint selection on the averaged model is the
+        point of EMA), else the raw weights."""
+        src = self.trainable if self.ema is None else self.ema
+        return merge_params(src, self.frozen)
 
 
 def create_train_state(
@@ -93,6 +105,9 @@ def create_train_state(
         frozen=frozen,
         opt_state=opt_state,
         rng=state_rng,
+        # EMA starts AT the initial weights (not zeros): no debiasing term, and
+        # an eval before any update sees exactly the raw model
+        ema=jax.tree.map(jnp.copy, trainable) if cfg.train.ema_decay > 0 else None,
     )
     return state, tx, mask
 
@@ -183,8 +198,16 @@ def make_train_step(model, cfg: Config, tx: optax.GradientTransformation) -> Cal
         updates, new_opt_state = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
         grad_norm = optax.global_norm(grads)
+        new_ema = state.ema
+        if cfg.train.ema_decay > 0:
+            d = cfg.train.ema_decay
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.ema, new_trainable,
+            )
         new_state = state.replace(
-            step=state.step + 1, trainable=new_trainable, opt_state=new_opt_state
+            step=state.step + 1, trainable=new_trainable, opt_state=new_opt_state,
+            ema=new_ema,
         )
         return new_state, {"loss": loss, "grad_norm": grad_norm}
 

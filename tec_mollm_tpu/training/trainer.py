@@ -176,6 +176,16 @@ class Trainer:
             opt_state=put_global(state.opt_state, rep),
             step=put_global(state.step, rep),
             rng=put_global(state.rng, rep),
+            # the EMA shadows the trainable tree -> identical shardings
+            ema=(
+                put_global(
+                    state.ema,
+                    param_shardings(state.ema, self.mesh, cfg.train.model_parallel,
+                                    cfg.train.model_axis),
+                )
+                if state.ema is not None
+                else None
+            ),
         )
         self.state = state
         self._train_step = jax.jit(make_train_step(self.model, cfg, tx), donate_argnums=0)
@@ -316,7 +326,9 @@ class Trainer:
             dev_batch = self._put(batch)  # 'valid' shards with the rest of the batch
             valid_dev = dev_batch["valid"]
             loss, preds, trues = self._eval_step(
-                self.state.params, dev_batch, self.graph_dev
+                # EMA runs validate (and therefore best-checkpoint selection)
+                # on the averaged weights; identity when ema_decay is off
+                self.state.eval_params, dev_batch, self.graph_dev
             )
             # global valid count on device (sharded sum -> replicated scalar);
             # weighting by the host-local count would be wrong on multihost pods
@@ -499,8 +511,10 @@ class Trainer:
                 if improved:
                     self.best_val_loss = val_loss
                     self.patience_counter = 0
-                    # all hosts enter (collective save); metadata/logging primary-only
-                    self.ckpt.save_params(self.state.params, "best")
+                    # all hosts enter (collective save); metadata/logging primary-only.
+                    # eval_params = the EMA weights when tracked (what validate
+                    # just scored — the saved best must be the model that won)
+                    self.ckpt.save_params(self.state.eval_params, "best")
                     if is_main:
                         logger.info("new best model (val %.6f)", val_loss)
                 else:

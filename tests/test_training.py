@@ -283,3 +283,122 @@ class TestRematPolicies:
                 {"params": state.params}, batch["x"], batch["time_features"],
                 graph[0], graph[1],
             )
+
+
+class TestEMA:
+    """Exponential moving average of the trainable params (TrainConfig.ema_decay,
+    beyond-reference): the EMA follows e <- e*d + p*(1-d) starting AT the initial
+    weights, shadows only the trainable tree, and drives validation + the saved
+    best checkpoint while the raw weights keep training."""
+
+    def _ema_cfg(self, decay=0.5):
+        import dataclasses
+
+        cfg = tiny_config()
+        return dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, ema_decay=decay)
+        )
+
+    def test_recursion_matches_hand_computation(self, tiny_graph):
+        cfg = self._ema_cfg(decay=0.5)
+        m = cfg.model
+        split = synthetic_processed_split(
+            num_windows=20, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=m.num_nodes, seed=0,
+        )
+        ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=1)
+        model = TECMoLLM(m)
+        graph = (
+            jnp.asarray(tiny_graph.neighbors), jnp.asarray(tiny_graph.neighbor_mask)
+        )
+        sample = ds.gather_batch(np.arange(2))
+        state, tx, _ = create_train_state(model, cfg, jax.random.key(0), sample, graph)
+        assert state.ema is not None
+        # init: EMA == initial weights exactly (no debias term by construction)
+        for e, p in zip(jax.tree.leaves(state.ema), jax.tree.leaves(state.trainable)):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+        step = jax.jit(make_train_step(model, cfg, tx))
+        batch = jax.tree.map(
+            jnp.asarray,
+            ds.gather_batch(np.arange(cfg.train.accumulation_steps * cfg.train.batch_size)),
+        )
+        expected = jax.tree.map(lambda p: np.asarray(p, np.float64), state.trainable)
+        s = state
+        for _ in range(3):
+            s, _ = step(s, batch, graph)
+            expected = jax.tree.map(
+                lambda e, p: e * 0.5 + np.asarray(p, np.float64) * 0.5,
+                expected, s.trainable,
+            )
+        for e, want in zip(jax.tree.leaves(s.ema), jax.tree.leaves(expected)):
+            np.testing.assert_allclose(np.asarray(e), want, rtol=1e-5, atol=1e-7)
+        # EMA lags the raw weights (they differ after updates)
+        diffs = [
+            float(np.abs(np.asarray(e) - np.asarray(p)).max())
+            for e, p in zip(jax.tree.leaves(s.ema), jax.tree.leaves(s.trainable))
+        ]
+        assert max(diffs) > 0
+
+    def test_off_by_default_keeps_structure(self, train_setup):
+        _, _, _, _, state, _, _ = train_setup
+        assert state.ema is None
+        # eval_params falls back to the raw weights
+        for a, b in zip(
+            jax.tree.leaves(state.eval_params), jax.tree.leaves(state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_trainer_selects_saves_and_resumes_ema(self, tiny_graph, tmp_path):
+        import dataclasses
+
+        from tec_mollm_tpu.training.trainer import Trainer
+
+        cfg = self._ema_cfg(decay=0.9)
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, ema_decay=0.9, epochs=1, accumulation_steps=1,
+                batch_size=2,
+            ),
+        )
+        m = cfg.model
+        split = synthetic_processed_split(
+            num_windows=48, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=m.num_nodes, seed=3,
+        )
+        # default mesh spans all 8 virtual devices -> macro batch 16: keep the
+        # window count comfortably above it so the epoch actually steps
+        train_ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=1)
+        val_ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=4)
+        trainer = Trainer(
+            cfg, train_ds, val_ds, tiny_graph, target_scaler=None,
+            workdir=str(tmp_path), run_name="ema", mesh=None,
+        )
+        trainer.fit()
+        assert int(trainer.state.step) > 0
+        # the saved best params are the EMA-merged tree validate() scored —
+        # NOT the raw weights (with decay 0.9 after a few steps they differ)
+        eval_params = jax.device_get(trainer.state.eval_params)
+        raw_params = jax.device_get(trainer.state.params)
+        best = trainer.ckpt.restore_params(eval_params, "best")
+        for got, want in zip(jax.tree.leaves(best), jax.tree.leaves(eval_params)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+        lora = raw_params["llm"]["h_0"]["attn"]["c_attn"]["lora_B"]
+        lora_best = best["llm"]["h_0"]["attn"]["c_attn"]["lora_B"]
+        assert not np.allclose(np.asarray(lora_best), np.asarray(lora))
+
+        # resume round-trips the EMA through the full-state checkpoint
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=2)
+        )
+        trainer2 = Trainer(
+            cfg2, train_ds, val_ds, tiny_graph, target_scaler=None,
+            workdir=str(tmp_path), run_name="ema", mesh=None,
+        )
+        ema_before = jax.device_get(trainer.state.ema)
+        trainer2.state, _ = trainer2.ckpt.restore_state(trainer2.state, "latest")
+        for got, want in zip(
+            jax.tree.leaves(trainer2.state.ema), jax.tree.leaves(ema_before)
+        ):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)

@@ -59,6 +59,11 @@ def parse_args() -> argparse.Namespace:
                    help="mid-epoch resumable checkpoint every N macro steps "
                         "(default 0 = epoch boundaries only); bounds the work "
                         "lost to hard failures on long epochs")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="exponential-moving-average decay for the trainable "
+                        "params (beyond-reference; e.g. 0.999). Validation and "
+                        "the saved best checkpoint use the EMA weights; 0 "
+                        "(default) disables")
     # model
     p.add_argument("--d-emb", type=int, default=None, help="default 16")
     p.add_argument("--llm-layers", type=int, default=None, help="default 3")
@@ -125,6 +130,7 @@ def build_config(args: argparse.Namespace):
             "min_delta": args.min_delta,
             "seed": args.seed,
             "checkpoint_every_steps": args.checkpoint_every_steps,
+            "ema_decay": args.ema_decay,
             "model_parallel": args.model_parallel,
         }.items()
         if v is not None
