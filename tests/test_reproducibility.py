@@ -56,7 +56,7 @@ class TestPrefetchErrors:
         ds = SlidingWindowDataset(split, 4, 2)
 
         class Broken(BatchLoader):
-            def _batches(self):
+            def _batches(self, start_step: int = 0):
                 yield ds.gather_batch(np.array([0]))
                 raise RuntimeError("producer boom")
 
