@@ -220,6 +220,13 @@ class TrainConfig:
     # trainable tree (~3M params) and is initialized AT the initial weights
     # (no zero-debias needed), so the added step cost is a few elementwise ops.
     ema_decay: float = 0.0
+    # Device-resident archive mode (data/device_data.py): keep the split's
+    # de-duplicated raw series (~0.5 GB at 13-year scale) in HBM and gather
+    # windows on device; the host ships only window-start indices per step.
+    # Removes the ~48x-redundant host->device window stream that made stride-1
+    # archive epochs tunnel-bound (1-2 h/epoch in round 3). Requires archives
+    # with the *_raw.npz export (preprocess CLI from round 4 on).
+    device_data: bool = False
     # Mid-epoch checkpoint cadence in macro steps (0 = epoch boundaries only).
     # At archive scale one epoch is tens of minutes of wall (BASELINE.md 13-year
     # rows: 61 min) and hard failures (tunnel death, SIGKILL) get no signal —

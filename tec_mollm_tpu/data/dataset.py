@@ -138,6 +138,7 @@ class BatchLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        index_only: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -147,6 +148,10 @@ class BatchLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        # index_only: yield {'starts': window-start indices} instead of
+        # materialized windows — the device-resident path (data/device_data.py)
+        # gathers on device, so the host only ships a few bytes per step
+        self.index_only = index_only
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -197,6 +202,15 @@ class BatchLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _gather(self, idxs: np.ndarray) -> dict[str, np.ndarray]:
+        if self.index_only:
+            return {
+                "starts": np.asarray(
+                    self.dataset.sample_indices[idxs], dtype=np.int32
+                )
+            }
+        return self.dataset.gather_batch(idxs)
+
     def _batches(self, start_step: int = 0) -> Iterator[dict[str, np.ndarray]]:
         order, shard_pad = self._epoch_indices()
         # index-level validity: the trailing shard_pad entries are repeats
@@ -206,14 +220,14 @@ class BatchLoader:
         n_full = len(order) // self.batch_size
         for b in range(start_step, n_full):
             sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
-            batch = self.dataset.gather_batch(order[sl])
+            batch = self._gather(order[sl])
             batch["valid"] = valid_all[sl].copy()
             yield batch
         rem = len(order) - n_full * self.batch_size
         if rem and not self.drop_remainder and start_step <= n_full:
             idxs = order[n_full * self.batch_size :]
             pad = np.concatenate([idxs, np.repeat(idxs[-1:], self.batch_size - rem)])
-            batch = self.dataset.gather_batch(pad)
+            batch = self._gather(pad)
             valid = np.zeros(self.batch_size, dtype=bool)
             valid[:rem] = valid_all[n_full * self.batch_size :]
             batch["valid"] = valid

@@ -154,6 +154,20 @@ def run_preprocess(
         )
 
     sanitize_raw_tec(splits)
+    # De-duplicated raw series per split, consumed by the device-resident
+    # archive path (data/device_data.py). The materialized X/Y windows are
+    # ~48x redundant (every timestep appears in L_in windows) and the five
+    # space-weather indices are broadcast to all N nodes; the raw form —
+    # TEC (T, N) + indices (T, 5) — is ~18x smaller (0.5 GB vs 10 GB at
+    # 13-year scale) and small enough to live entirely in TPU HBM, where
+    # windows are gathered on device instead of streamed from the host.
+    for name, data in splits.items():
+        t = data["tec"].shape[0]
+        np.savez(
+            os.path.join(out_dir, f"{name}_raw.npz"),
+            tec=data["tec"].reshape(t, -1).astype(np.float32),
+            sw=data["space_weather_indices"].astype(np.float32),
+        )
     tensors = build_split_tensors(splits, horizon=data_cfg.horizon)
     tensors, _ = standardize_features(
         tensors, scaler_path=os.path.join(out_dir, "scaler.npz")

@@ -136,7 +136,14 @@ def point_forecast(preds: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 
 def make_loss_fn(model, cfg: Config) -> Callable:
-    """loss_fn(trainable, frozen, batch, graph, rng) -> loss."""
+    """loss_fn(trainable, frozen, batch, graph, rng) -> loss.
+
+    batch['valid'] (when present) loss-masks padded rows: the final macro
+    batch of an epoch is padded to full size with repeats instead of dropped,
+    so every train window contributes a gradient each epoch — the effective
+    semantics of the reference's trailing-accumulation flush (train.py:117-126,
+    SURVEY §2.d.4). Rows with valid=False carry zero weight and the mean runs
+    over valid rows only."""
 
     def loss_fn(trainable, frozen, batch, graph, dropout_rng):
         params = merge_params(trainable, frozen)
@@ -150,26 +157,38 @@ def make_loss_fn(model, cfg: Config) -> Callable:
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
-        return _objective(preds, _targets_from_batch(batch), cfg)
+        valid = batch.get("valid")
+        w = None if valid is None else valid.astype(preds.dtype)[:, None, None, None]
+        return _objective(preds, _targets_from_batch(batch), cfg, weights=w)
 
     return loss_fn
 
 
-def make_train_step(model, cfg: Config, tx: optax.GradientTransformation) -> Callable:
-    """Returns train_step(state, batch, graph) -> (state, metrics).
+def make_train_step(
+    model, cfg: Config, tx: optax.GradientTransformation, gather: bool = False
+) -> Callable:
+    """Returns train_step(state, batch, graph[, data]) -> (state, metrics).
 
     batch arrays have leading dim B_total = accumulation_steps * microbatch; the
     scan averages gradients over microbatches (same semantics as loss/accum +
-    per-cycle step in the reference, train.py:78-109 — and, because the scan always
-    runs all microbatches, the trailing-remainder flush quirk train.py:117-126
-    cannot drop gradients here). Gradients exist only for the trainable tree.
+    per-cycle step in the reference, train.py:78-109; the trailing-remainder
+    flush quirk train.py:117-126 is covered by the loss-masked final padded
+    batch — see make_loss_fn). Gradients exist only for the trainable tree.
+
+    gather=True is the device-resident path (data/device_data.py): batch is
+    {'starts' (B_total,), 'valid' (B_total,)} and `data` a DeviceSplit; each
+    microbatch is gathered from HBM inside the scan body, so windows are never
+    materialized beyond one microbatch and nothing streams from the host.
     """
     accum = cfg.train.accumulation_steps
     loss_fn = make_loss_fn(model, cfg)
     grad_fn = jax.value_and_grad(loss_fn, argnums=0)
 
-    def train_step(state: TrainState, batch: dict[str, jnp.ndarray], graph):
+    def train_step(state: TrainState, batch: dict[str, jnp.ndarray], graph, data=None):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
+
+        def resolve(mb):
+            return data.gather(mb["starts"], mb.get("valid")) if gather else mb
 
         if accum > 1:
             def to_micro(x):
@@ -180,7 +199,9 @@ def make_train_step(model, cfg: Config, tx: optax.GradientTransformation) -> Cal
             def body(carry, mb):
                 loss_sum, grad_sum, i = carry
                 mb_rng = jax.random.fold_in(dropout_rng, i)
-                loss, grads = grad_fn(state.trainable, state.frozen, mb, graph, mb_rng)
+                loss, grads = grad_fn(
+                    state.trainable, state.frozen, resolve(mb), graph, mb_rng
+                )
                 grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
                 return (loss_sum + loss, grad_sum, i + 1), None
 
@@ -191,7 +212,9 @@ def make_train_step(model, cfg: Config, tx: optax.GradientTransformation) -> Cal
             loss = loss_sum / accum
             grads = jax.tree.map(lambda g: g / accum, grad_sum)
         else:
-            loss, grads = grad_fn(state.trainable, state.frozen, batch, graph, dropout_rng)
+            loss, grads = grad_fn(
+                state.trainable, state.frozen, resolve(batch), graph, dropout_rng
+            )
 
         # mean gradients across data-parallel replicas happen implicitly: under jit
         # with sharded batch + replicated params, XLA inserts the psum (GSPMD).
@@ -214,17 +237,20 @@ def make_train_step(model, cfg: Config, tx: optax.GradientTransformation) -> Cal
     return train_step
 
 
-def make_eval_step(model, cfg: Config) -> Callable:
-    """eval_step(params, batch, graph) -> (loss, preds, targets).
+def make_eval_step(model, cfg: Config, gather: bool = False) -> Callable:
+    """eval_step(params, batch, graph[, data]) -> (loss, preds, targets).
 
     Takes the MERGED param tree. Handles padded batches via batch['valid'] so
     stride-1 validation keeps static shapes (single compilation); padded rows carry
     zero loss weight. In quantile mode `preds` carries all levels on the last
     axis (B, L_out, N, Q) and the loss is pinball (matching the training
     objective, so best-checkpoint selection optimizes the same thing); use
-    `point_forecast` for the 0.5-level slice."""
+    `point_forecast` for the 0.5-level slice. gather=True mirrors
+    make_train_step's device-resident path ({'starts','valid'} + DeviceSplit)."""
 
-    def eval_step(params, batch: dict[str, jnp.ndarray], graph):
+    def eval_step(params, batch: dict[str, jnp.ndarray], graph, data=None):
+        if gather:
+            batch = data.gather(batch["starts"], batch.get("valid"))
         neighbors, neighbor_mask = graph
         preds = model.apply(
             {"params": params},

@@ -110,6 +110,14 @@ class Trainer:
         self.target_scaler = target_scaler
         self.ckpt = CheckpointManager(workdir, self.run_name)
 
+        # Device-resident data mode (data/device_data.py): the split's raw
+        # series lives in HBM; loaders ship only window-start indices and the
+        # jitted steps gather on device. Selected by constructing the Trainer
+        # with DeviceResidentDataset instances (train.py --device-data).
+        from tec_mollm_tpu.data.device_data import DeviceResidentDataset
+
+        self.device_mode = isinstance(train_ds, DeviceResidentDataset)
+
         # macro batch = accumulation * microbatch * data-parallel replicas
         self.macro_batch = (
             cfg.train.accumulation_steps * cfg.train.batch_size * self.dp
@@ -117,14 +125,19 @@ class Trainer:
         # per-host sharding (multi-host pods): each process loads its slice of the
         # index space — the role DistributedSampler plays in the reference
         # (train.py:309-310). Single host => one shard.
+        # drop_remainder=False: the final short macro batch is PADDED with
+        # loss-masked repeats instead of dropped, so every train window
+        # contributes a gradient each epoch — the effective semantics of the
+        # reference's trailing-accumulation flush (train.py:117-126, §2.d.4).
         self.train_loader = BatchLoader(
             train_ds,
             batch_size=self.macro_batch // jax.process_count(),
             shuffle=cfg.train.shuffle,
             seed=cfg.train.seed,
-            drop_remainder=True,
+            drop_remainder=False,
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
+            index_only=self.device_mode,
         )
         # validation is sharded per process exactly like training (ADVICE r1:
         # an unsharded val loader + make_array_from_process_local_data treats each
@@ -141,6 +154,7 @@ class Trainer:
                 drop_remainder=False,
                 num_shards=jax.process_count(),
                 shard_index=jax.process_index(),
+                index_only=self.device_mode,
             )
             if val_ds is not None
             else None
@@ -149,6 +163,27 @@ class Trainer:
         # graph device constants (replicated; put_global handles multihost)
         rep = replicated_sharding(self.mesh)
         self.graph_dev = tuple(put_global(a, rep) for a in graph_arrays)
+
+        # device-resident raw series (replicated over the mesh; ~0.5 GB/chip
+        # at full 13-year archive scale). Passed as explicit jit arguments —
+        # never closed over, which would bake a second copy into the executable.
+        self._train_data = self._val_data = None
+        if self.device_mode:
+            data_dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+            put_rep = lambda a: put_global(np.asarray(a), rep)  # noqa: E731
+            self._train_data = train_ds.device_split(data_dtype, put_rep)
+            if val_ds is not None:
+                if not isinstance(val_ds, DeviceResidentDataset):
+                    raise TypeError(
+                        "device-resident mode needs DeviceResidentDataset for "
+                        "the validation split too"
+                    )
+                self._val_data = val_ds.device_split(data_dtype, put_rep)
+            logger.info(
+                "device-resident data: train %.1f MB%s on-chip (replicated)",
+                train_ds.nbytes() / 1e6,
+                f" + val {val_ds.nbytes() / 1e6:.1f} MB" if val_ds is not None else "",
+            )
 
         # init state: trainable fp32, frozen bf16 under the bf16 policy (streamed
         # weights; no optimizer state to keep in fp32)
@@ -188,14 +223,17 @@ class Trainer:
             ),
         )
         self.state = state
-        self._train_step = jax.jit(make_train_step(self.model, cfg, tx), donate_argnums=0)
-        _eval = make_eval_step(self.model, cfg)
+        self._train_step = jax.jit(
+            make_train_step(self.model, cfg, tx, gather=self.device_mode),
+            donate_argnums=0,
+        )
+        _eval = make_eval_step(self.model, cfg, gather=self.device_mode)
 
-        def _eval_point(params, batch, graph):
+        def _eval_point(params, batch, graph, data=None):
             # validation streams POINT metrics; slicing the 0.5 level here keeps
             # it inside the one jitted program (no extra per-batch dispatch,
             # which multi-process meshes cannot afford — DESIGN §16)
-            loss, preds, trues = _eval(params, batch, graph)
+            loss, preds, trues = _eval(params, batch, graph, data)
             return loss, point_forecast(preds, cfg), trues
 
         self._eval_step = jax.jit(_eval_point)
@@ -234,9 +272,10 @@ class Trainer:
 
     def _put(self, batch: dict[str, np.ndarray]) -> dict[str, jnp.ndarray]:
         arrays = dict(batch)
-        if self.cfg.train.bf16:
+        if self.cfg.train.bf16 and "x" in arrays:
             # the model casts x to bf16 anyway; casting on the host halves the
-            # host->device bytes for the biggest tensor (y stays fp32 for the loss)
+            # host->device bytes for the biggest tensor (y stays fp32 for the
+            # loss). Index batches (device mode) have no 'x' — nothing to cast.
             arrays["x"] = arrays["x"].astype(jnp.bfloat16)
         if jax.process_count() > 1:
             # each host contributes its local shard of the global batch
@@ -269,7 +308,7 @@ class Trainer:
         t0 = time.perf_counter()
         for batch in self.train_loader.iter_from(start_step):
             self.state, metrics = self._train_step(
-                self.state, self._put(batch), self.graph_dev
+                self.state, self._put(batch), self.graph_dev, self._train_data
             )
             # keep losses on device: a float() here would hard-sync every step
             # (one tunnel RTT per step on remote backends); read back once below
@@ -328,7 +367,7 @@ class Trainer:
             loss, preds, trues = self._eval_step(
                 # EMA runs validate (and therefore best-checkpoint selection)
                 # on the averaged weights; identity when ema_decay is off
-                self.state.eval_params, dev_batch, self.graph_dev
+                self.state.eval_params, dev_batch, self.graph_dev, self._val_data
             )
             # global valid count on device (sharded sum -> replicated scalar);
             # weighting by the host-local count would be wrong on multihost pods

@@ -92,6 +92,13 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--no-remat", action="store_true",
                    help="force remat off (overrides --config/preset policy)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--device-data", action="store_true",
+                   help="device-resident archive mode: keep the split's raw "
+                        "series (~0.5 GB at 13-year scale) in HBM and gather "
+                        "windows on device — the host ships only window-start "
+                        "indices per step. Makes stride-1 archive training "
+                        "compute-bound instead of input-bound; needs the "
+                        "*_raw.npz files the preprocess CLI writes")
     # lifecycle
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (multi-host pods; "
@@ -139,6 +146,8 @@ def build_config(args: argparse.Namespace):
         train_over["remat_llm"] = args.remat
     if args.no_bf16:
         train_over["bf16"] = False
+    if args.device_data:
+        train_over["device_data"] = True
     model_over = {
         k: v
         for k, v in {"d_emb": args.d_emb, "llm_layers": args.llm_layers}.items()
@@ -185,13 +194,23 @@ def main() -> None:
     cfg = build_config(args)
 
     data_dir = args.data_dir
-    train_ds = SlidingWindowDataset.from_dir(
-        data_dir, "train", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.train_stride
-    )
-    val_ds = SlidingWindowDataset.from_dir(
-        data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=cfg.train.val_stride,
-        tail_frac=cfg.train.val_tail_frac,
-    )
+    if cfg.train.device_data:
+        from tec_mollm_tpu.data.device_data import DeviceResidentDataset
+
+        def make_ds(mode, stride, tail_frac=1.0):
+            return DeviceResidentDataset(
+                data_dir, mode, cfg.train.L_in, cfg.train.L_out,
+                stride=stride, tail_frac=tail_frac,
+            )
+    else:
+        def make_ds(mode, stride, tail_frac=1.0):
+            return SlidingWindowDataset.from_dir(
+                data_dir, mode, cfg.train.L_in, cfg.train.L_out,
+                stride=stride, tail_frac=tail_frac,
+            )
+
+    train_ds = make_ds("train", cfg.train.train_stride)
+    val_ds = make_ds("val", cfg.train.val_stride, tail_frac=cfg.train.val_tail_frac)
     if len(val_ds) == 0:
         logger.warning("validation split empty; training without validation")
         val_ds = None
