@@ -45,7 +45,12 @@ class EvalExecutor:
         params: Any,
         batch_size: int,
         devices: list | None = None,
+        device_dataset=None,
     ):
+        """device_dataset: a data.device_data.DeviceResidentDataset — eval then
+        runs device-resident like training (raw series in HBM, loaders ship
+        only window-start indices; removes the ~48x-redundant host->device
+        window stream that dominates stride-1 archive-scale eval wall time)."""
         import jax
         import jax.numpy as jnp
 
@@ -84,6 +89,7 @@ class EvalExecutor:
         self._replicate = None  # built on first run_full use
 
         stencil_shifts, graph_arrays = graph_inputs(graph)
+        self._stencil_shifts = stencil_shifts
         self.graph_dev = tuple(put_global(a, rep) for a in graph_arrays)
         self.params = put_global(
             params,
@@ -96,7 +102,16 @@ class EvalExecutor:
             dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
             stencil_shifts=stencil_shifts,
         )
-        self.eval_step = jax.jit(make_eval_step(model, cfg))
+        # device-resident data: the split's raw series replicated in HBM, the
+        # window gather fused into the jitted eval step (data/device_data.py)
+        self._data = None
+        if device_dataset is not None:
+            self._data = device_dataset.device_split(
+                jnp.float32, lambda a: put_global(np.asarray(a), rep)
+            )
+        self.eval_step = jax.jit(
+            make_eval_step(model, cfg, gather=self._data is not None)
+        )
 
     def loader(self, dataset: SlidingWindowDataset, prefetch: int = 2) -> BatchLoader:
         """Per-process loader: each host reads its slice of the index space
@@ -110,6 +125,7 @@ class EvalExecutor:
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
             prefetch=prefetch,
+            index_only=self._data is not None,
         )
 
     def put(self, batch: dict[str, np.ndarray]) -> dict[str, Any]:
@@ -119,10 +135,11 @@ class EvalExecutor:
         import jax
         import jax.numpy as jnp
 
-        if self.cfg.train.bf16:
+        if self.cfg.train.bf16 and "x" in batch:
             # the model's first op casts x to bf16 (embeddings.py) — casting on
             # the host instead halves host->device bytes for the batch's
-            # dominant tensor (y stays fp32: it feeds the loss/metrics directly)
+            # dominant tensor (y stays fp32: it feeds the loss/metrics directly).
+            # Index batches (device mode) carry no 'x'.
             batch = dict(batch)
             batch["x"] = batch["x"].astype(jnp.bfloat16)
         if jax.process_count() > 1:
@@ -136,7 +153,9 @@ class EvalExecutor:
 
     def run(self, batch: dict[str, np.ndarray]):
         dev = self.put(batch)
-        loss, preds, trues = self.eval_step(self.params, dev, self.graph_dev)
+        loss, preds, trues = self.eval_step(
+            self.params, dev, self.graph_dev, self._data
+        )
         return loss, preds, trues, dev["valid"]
 
     def run_full(self, batch: dict[str, np.ndarray]):
@@ -160,17 +179,41 @@ class EvalExecutor:
             batch = dict(batch)
             batch["x"] = batch["x"].astype(jnp.bfloat16)
         valid = np.asarray(batch["valid"])
+        step = self._host_batch_step()
         if jax.process_count() > 1:
             dev = {k: put_global(np.asarray(v), self.rep) for k, v in batch.items()}
             if self._replicate is None:
                 self._replicate = jax.jit(lambda t: t, out_shardings=self.rep)
             loss, preds, trues = jax.device_get(
-                self._replicate(self.eval_step(self.params, dev, self.graph_dev))
+                self._replicate(step(self.params, dev, self.graph_dev))
             )
             return loss, preds, trues, valid
         dev = jax.tree.map(lambda x: jax.device_put(x, self.batch_sharding), batch)
-        loss, preds, trues = self.eval_step(self.params, dev, self.graph_dev)
+        loss, preds, trues = step(self.params, dev, self.graph_dev)
         return loss, np.asarray(preds), np.asarray(trues), valid
+
+    def _host_batch_step(self):
+        """Eval step for caller-assembled (materialized) batches — identical to
+        self.eval_step unless this executor is device-resident, where the main
+        step expects index batches; built lazily on first run_full use."""
+        if self._data is None:
+            return self.eval_step
+        if getattr(self, "_host_step", None) is None:
+            import jax
+
+            from tec_mollm_tpu.models import TECMoLLM
+            from tec_mollm_tpu.models.tec_mollm import graph_inputs  # noqa: F401
+            from tec_mollm_tpu.training.train_state import make_eval_step
+
+            import jax.numpy as jnp
+
+            model = TECMoLLM(
+                self.cfg.model,
+                dtype=jnp.bfloat16 if self.cfg.train.bf16 else jnp.float32,
+                stencil_shifts=self._stencil_shifts,
+            )
+            self._host_step = jax.jit(make_eval_step(model, self.cfg))
+        return self._host_step
 
 
 def get_model_predictions(
@@ -220,18 +263,25 @@ def evaluate_model_streaming(
     scaler: StandardScaler | None,
     batch_size: int = 16,
     devices: list | None = None,
+    conformal_offsets=None,
 ) -> dict[str, Any]:
     """Inference + metrics without materializing predictions on the host: each
     batch reduces to (L_out, 8) sufficient statistics on device
     (evaluation/streaming.py), data-parallel over the whole mesh. Same numbers
-    as evaluate_horizons."""
+    as evaluate_horizons. `conformal_offsets` (evaluation/conformal.py) adds a
+    second quantile accumulator scoring the CALIBRATED intervals — one
+    inference pass, both raw and conformal metrics."""
+    from tec_mollm_tpu.data.device_data import DeviceResidentDataset
     from tec_mollm_tpu.evaluation.streaming import (
         StreamingHorizonMetrics,
         StreamingQuantileMetrics,
     )
     from tec_mollm_tpu.training.train_state import point_forecast
 
-    ex = EvalExecutor(cfg, graph, params, batch_size, devices=devices)
+    device_ds = dataset if isinstance(dataset, DeviceResidentDataset) else None
+    ex = EvalExecutor(
+        cfg, graph, params, batch_size, devices=devices, device_dataset=device_ds
+    )
     acc = StreamingHorizonMetrics(cfg.train.L_out, scaler)
     quantiles = cfg.model.quantiles
     acc_q = (
@@ -239,15 +289,27 @@ def evaluate_model_streaming(
         if quantiles
         else None
     )
+    acc_qc = (
+        StreamingQuantileMetrics(
+            cfg.train.L_out, quantiles, scaler,
+            offsets=conformal_offsets.offsets,
+        )
+        if quantiles and conformal_offsets is not None
+        else None
+    )
     for batch in ex.loader(dataset):
         _, preds, trues, valid_dev = ex.run(batch)
         if acc_q is not None:
             acc_q.update(trues, preds, valid_dev)
+            if acc_qc is not None:
+                acc_qc.update(trues, preds, valid_dev)
             preds = point_forecast(preds, cfg)  # point metrics on the 0.5 level
         acc.update(trues, preds, valid_dev)
     result = acc.finalize()
     if acc_q is not None:
         result["quantile_metrics"] = acc_q.finalize()
+    if acc_qc is not None:
+        result["quantile_metrics_conformal"] = acc_qc.finalize()
     return result
 
 
@@ -281,13 +343,39 @@ def evaluate_baseline_streaming(
     the host (~29 GB of x windows at the real 2024-25 scale). Here each batch's
     window-mean prediction reduces to the same (L_out, 8) sufficient statistics as
     the model path, so baseline and model evals share one memory profile and one
-    metric implementation (reference test.py:46-71 semantics)."""
+    metric implementation (reference test.py:46-71 semantics).
+
+    A DeviceResidentDataset scores fully on device: window-mean + targets come
+    from the HBM-resident raw series (one fused gather+reduce per batch), so
+    nothing but start indices crosses the host boundary."""
+    import jax
     import jax.numpy as jnp
 
+    from tec_mollm_tpu.data.device_data import DeviceResidentDataset
     from tec_mollm_tpu.evaluation.streaming import StreamingHorizonMetrics
 
-    baseline = WindowMeanBaseline()
     acc = StreamingHorizonMetrics(L_out, scaler)
+    if isinstance(dataset, DeviceResidentDataset):
+        split = dataset.device_split(jnp.float32)
+
+        @jax.jit
+        def _step(data, starts):
+            b = data.gather(starts)
+            mean = jnp.mean(b["x"][..., 0], axis=1)                 # (B, N)
+            preds = jnp.repeat(mean[:, None, :, None], L_out, axis=1)
+            trues = b["y"].transpose(0, 2, 1)[..., None]
+            return preds, trues
+
+        loader = BatchLoader(
+            dataset, batch_size=batch_size, drop_remainder=False, prefetch=2,
+            index_only=True,
+        )
+        for batch in loader:
+            preds, trues = _step(split, jnp.asarray(batch["starts"]))
+            acc.update(trues, preds, jnp.asarray(batch["valid"]))
+        return acc.finalize()
+
+    baseline = WindowMeanBaseline()
     loader = BatchLoader(
         dataset, batch_size=batch_size, drop_remainder=False, prefetch=2
     )
@@ -398,6 +486,7 @@ def write_results(
             f.write(name + "," + ",".join(vals) + "\n")
 
     qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
+    qmc = results.get("TEC-MoLLM", {}).get("quantile_metrics_conformal")
     txt_path = os.path.join(output_dir, "evaluation_summary.txt")
     with open(txt_path, "w") as f:
         f.write("TEC-MoLLM evaluation summary\n")
@@ -411,44 +500,57 @@ def write_results(
         f.write("Improvement vs HistoricalAverage:\n")
         for k, v in improvements.items():
             f.write(f"  {k}: {v:+.2f}%\n")
-        if qm:
-            f.write("\nProbabilistic forecast (quantile head):\n")
-            f.write(f"  levels:       {qm['quantiles']}\n")
-            f.write(f"  pinball avg:  {qm['pinball_avg']:.6f}\n")
+        def _quantile_block(f, m, title):
+            f.write(f"\n{title}:\n")
+            f.write(f"  levels:       {m['quantiles']}\n")
+            f.write(f"  pinball avg:  {m['pinball_avg']:.6f}\n")
             cal = ", ".join(
                 f"{q:g}->{c:.3f}"
-                for q, c in zip(qm["quantiles"], qm["calibration_by_level"])
+                for q, c in zip(m["quantiles"], m["calibration_by_level"])
             )
             f.write(f"  calibration:  {cal}\n")
-            if "interval_coverage" in qm:
+            if "interval_coverage" in m:
                 f.write(
-                    f"  interval:     {qm['interval_coverage']:.3f} observed vs "
-                    f"{qm['interval_nominal']:.3f} nominal\n"
+                    f"  interval:     {m['interval_coverage']:.3f} observed vs "
+                    f"{m['interval_nominal']:.3f} nominal\n"
                 )
 
-    if qm:
-        qcsv = os.path.join(output_dir, "quantile_metrics.csv")
-        n_h = len(qm["pinball_by_horizon"])
-        cov = qm.get("interval_coverage_by_horizon", [float("nan")] * n_h)
-        with open(qcsv, "w") as f:
+        if qm:
+            _quantile_block(f, qm, "Probabilistic forecast (quantile head)")
+        if qmc:
+            _quantile_block(
+                f, qmc, "Probabilistic forecast (conformal-calibrated)"
+            )
+
+    def _quantile_csv(m, path):
+        n_h = len(m["pinball_by_horizon"])
+        cov = m.get("interval_coverage_by_horizon", [float("nan")] * n_h)
+        with open(path, "w") as f:
             f.write(
                 "horizon,"
-                + ",".join(f"pinball_q{q:g}" for q in qm["quantiles"])
+                + ",".join(f"pinball_q{q:g}" for q in m["quantiles"])
                 + ",interval_coverage\n"
             )
             f.write(
                 "avg,"
-                + ",".join(f"{p:.6f}" for p in qm["pinball_by_level"])
-                + f",{qm.get('interval_coverage', float('nan')):.6f}\n"
+                + ",".join(f"{p:.6f}" for p in m["pinball_by_level"])
+                + f",{m.get('interval_coverage', float('nan')):.6f}\n"
             )
             for h in range(n_h):
                 f.write(
                     f"{h+1},"
                     + ",".join(
-                        f"{p:.6f}" for p in qm["pinball_by_horizon_level"][h]
+                        f"{p:.6f}" for p in m["pinball_by_horizon_level"][h]
                     )
                     + f",{cov[h]:.6f}\n"
                 )
+
+    if qm:
+        _quantile_csv(qm, os.path.join(output_dir, "quantile_metrics.csv"))
+    if qmc:
+        _quantile_csv(
+            qmc, os.path.join(output_dir, "quantile_metrics_conformal.csv")
+        )
     return csv_path, txt_path
 
 
@@ -738,10 +840,27 @@ def run_prediction(
     extra: dict[str, np.ndarray] = {}
     if quantiles:
         # full probabilistic forecast: (W, L_out, N, Q) physical TECU
-        extra["forecast_quantiles"] = np.clip(
+        qphys = np.clip(
             to_physical(preds, "quantile predictions", None), 0.0, 200.0
         )
+        extra["forecast_quantiles"] = qphys
         extra["quantile_levels"] = np.asarray(quantiles, dtype=np.float64)
+        # conformal.npz next to the checkpoint (written by `test.py --conformal
+        # fit`) calibrates the shipped bands automatically
+        from tec_mollm_tpu.evaluation.conformal import ConformalOffsets
+
+        conf_path = ConformalOffsets.path_for(ckpt_path)
+        if os.path.exists(conf_path):
+            off = ConformalOffsets.load(conf_path)
+            if tuple(off.quantiles) == tuple(quantiles):
+                extra["forecast_quantiles_conformal"] = off.apply_physical(qphys)
+                extra["conformal_offsets"] = off.offsets
+                logger.info("conformal calibration applied (%s)", conf_path)
+            else:
+                logger.warning(
+                    "conformal offsets at %s have levels %s != model %s — "
+                    "skipped", conf_path, off.quantiles, quantiles,
+                )
 
     out_path = os.path.join(output_dir, "forecast.npz")
     # run_full returns identical replicated outputs on every process; only the
@@ -760,6 +879,68 @@ def run_prediction(
             "path": out_path, "mae": mae, **extra}
 
 
+def _resolve_conformal(
+    conformal: str,
+    cfg: Config,
+    params: Any,
+    data_dir: str,
+    ckpt_path: str,
+    graph: GraphData,
+    scaler: StandardScaler | None,
+    batch_size: int,
+    dataset_cls=None,
+):
+    """Resolve run_evaluation's `conformal` argument into ConformalOffsets
+    (or None). 'fit' calibrates on the val split and persists conformal.npz
+    next to the checkpoint, so later 'auto' evals / predict / serve reuse it."""
+    import jax
+
+    from tec_mollm_tpu.data.device_data import DeviceResidentDataset
+    from tec_mollm_tpu.evaluation.conformal import ConformalOffsets, fit_conformal
+
+    if not cfg.model.quantiles:
+        logger.warning(
+            "--conformal requested but the model has no quantile head "
+            "(ModelConfig.quantiles empty) — nothing to calibrate"
+        )
+        return None
+    if conformal == "fit":
+        if dataset_cls is DeviceResidentDataset:
+            val_ds = DeviceResidentDataset(
+                data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+            )
+        else:
+            val_ds = SlidingWindowDataset.from_dir(
+                data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+            )
+        if len(val_ds) == 0:
+            logger.warning("val split empty — cannot fit conformal offsets")
+            return None
+        off = fit_conformal(cfg, params, val_ds, graph, scaler, batch_size)
+        if jax.process_index() == 0:
+            path = ConformalOffsets.path_for(ckpt_path)
+            off.save(path)
+            logger.info("conformal offsets saved to %s", path)
+        return off
+    path = ConformalOffsets.path_for(ckpt_path) if conformal == "auto" else conformal
+    if not os.path.exists(path):
+        if conformal == "auto":
+            return None
+        raise FileNotFoundError(
+            f"conformal offsets file {path} not found — run test.py with "
+            "--conformal fit first (it saves conformal.npz next to the "
+            "checkpoint)"
+        )
+    off = ConformalOffsets.load(path)
+    if tuple(off.quantiles) != tuple(cfg.model.quantiles):
+        raise ValueError(
+            f"conformal offsets at {path} were fit for levels {off.quantiles} "
+            f"but the model has {cfg.model.quantiles}"
+        )
+    logger.info("conformal offsets loaded from %s", path)
+    return off
+
+
 def run_evaluation(
     cfg: Config,
     data_dir: str,
@@ -772,6 +953,7 @@ def run_evaluation(
     sarima_season: int = 12,
     split: str = "test",
     tail_frac: float = 1.0,
+    conformal: str | None = None,
 ) -> dict[str, Any]:
     """Score a checkpoint (and baselines) on a processed split.
 
@@ -779,12 +961,39 @@ def run_evaluation(
     reference test.py:120-170). Scoring the VAL split's tail is the model-
     selection probe for distribution shift (BASELINE.md "RevIN under
     distribution shift": full-period val ranked the solar-cycle arms
-    backwards)."""
+    backwards).
+
+    `conformal` (quantile-head models only, evaluation/conformal.py):
+      * None    — score raw intervals only;
+      * 'auto'  — load conformal.npz next to the checkpoint if present;
+      * 'fit'   — fit per-(horizon, level) offsets on the VAL split with this
+                  checkpoint, save conformal.npz next to it, then score;
+      * a path  — load that offsets file.
+    Conformal metrics appear as a second probabilistic block (one inference
+    pass scores raw and calibrated intervals together)."""
     cfg = cfg.resolved()
-    test_ds = SlidingWindowDataset.from_dir(
-        data_dir, split, cfg.train.L_in, cfg.train.L_out, stride=1,
-        tail_frac=tail_frac,
-    )
+    test_ds = None
+    if cfg.train.device_data:
+        # the run's config.json records device_data, so a checkpoint trained
+        # device-resident evaluates device-resident automatically; archives
+        # without the *_raw.npz export fall back to the host pipeline
+        from tec_mollm_tpu.data.device_data import DeviceResidentDataset
+
+        try:
+            test_ds = DeviceResidentDataset(
+                data_dir, split, cfg.train.L_in, cfg.train.L_out, stride=1,
+                tail_frac=tail_frac,
+            )
+        except FileNotFoundError:
+            logger.warning(
+                "config has device_data=true but %s has no *_raw.npz — "
+                "falling back to the host-streamed eval pipeline", data_dir,
+            )
+    if test_ds is None:
+        test_ds = SlidingWindowDataset.from_dir(
+            data_dir, split, cfg.train.L_in, cfg.train.L_out, stride=1,
+            tail_frac=tail_frac,
+        )
     graph = GraphData.load(os.path.join(data_dir, "graph.npz"))
     tscaler_path = os.path.join(data_dir, "target_scaler.npz")
     scaler = StandardScaler.load(tscaler_path) if os.path.exists(tscaler_path) else None
@@ -794,6 +1003,13 @@ def run_evaluation(
     warn_on_config_mismatch(cfg, ckpt_path)
     params = load_params_for_eval(cfg, ckpt_path, graph)
 
+    offsets = None
+    if conformal is not None:
+        offsets = _resolve_conformal(
+            conformal, cfg, params, data_dir, ckpt_path, graph, scaler,
+            batch_size, dataset_cls=type(test_ds),
+        )
+
     logger.info(
         "running model inference over %d %s windows%s",
         len(test_ds), split,
@@ -802,7 +1018,8 @@ def run_evaluation(
     # both paths stream: each batch reduces to (L_out, 8) sufficient statistics,
     # so stride-1 full-split eval needs O(batch) host memory
     model_metrics = evaluate_model_streaming(
-        cfg, params, test_ds, graph, scaler, batch_size
+        cfg, params, test_ds, graph, scaler, batch_size,
+        conformal_offsets=offsets,
     )
     results = {
         "TEC-MoLLM": model_metrics,
@@ -840,4 +1057,12 @@ def run_evaluation(
         "improvement vs HA: MAE %+.2f%% RMSE %+.2f%%",
         improvements["mae_improvement_pct"], improvements["rmse_improvement_pct"],
     )
+    qmc = results["TEC-MoLLM"].get("quantile_metrics_conformal")
+    if qmc and "interval_coverage" in qmc:
+        raw = results["TEC-MoLLM"]["quantile_metrics"]
+        logger.info(
+            "conformal %g%% interval: coverage %.3f observed (raw head: %.3f)",
+            100 * qmc["interval_nominal"], qmc["interval_coverage"],
+            raw.get("interval_coverage", float("nan")),
+        )
     return {"results": results, "improvements": improvements}

@@ -162,10 +162,13 @@ def batch_quantile_stats(
     scale: jnp.ndarray,          # () target-scaler scale
     mean: jnp.ndarray,           # () target-scaler mean
     quantiles: tuple[float, ...],
+    offsets: jnp.ndarray,        # (L_out, Q) physical additive offsets (zeros = raw)
 ) -> jnp.ndarray:
     """-> (L_out, 1 + 2Q) float32 per-horizon sufficient statistics for
     probabilistic forecasts: [n, pinball_sum per level, below_count per level]
-    in physical units with the same guard/clip semantics as the point stats."""
+    in physical units with the same guard/clip semantics as the point stats.
+    `offsets` applies split-conformal calibration (evaluation/conformal.py):
+    levels are shifted, re-sorted (no crossing), and re-clipped."""
     nq = len(quantiles)
     l_out = y_true_scaled.shape[1]
     yt = y_true_scaled.reshape(y_true_scaled.shape[0], l_out, -1).astype(jnp.float32)
@@ -179,6 +182,10 @@ def batch_quantile_stats(
     yt = jnp.nan_to_num(yt, nan=0.0, posinf=100.0, neginf=0.0)
     yp = jnp.clip(jnp.nan_to_num(yp, nan=0.0, posinf=100.0, neginf=0.0),
                   TEC_MIN, TEC_MAX)
+    yp = jnp.clip(
+        jnp.sort(yp + offsets[None, :, None, :].astype(jnp.float32), axis=-1),
+        TEC_MIN, TEC_MAX,
+    )
 
     w = valid.astype(jnp.float32)[:, None, None]            # (B, 1, 1)
     q = jnp.asarray(quantiles, jnp.float32)                  # (Q,)
@@ -208,13 +215,21 @@ class StreamingQuantileMetrics:
         quantiles: tuple[float, ...],
         scaler: StandardScaler | None = None,
         flush_every: int = 128,
+        offsets: np.ndarray | None = None,
     ):
+        """offsets: (L_out, Q) physical split-conformal offsets
+        (evaluation/conformal.py) — metrics then score the CALIBRATED
+        intervals; None scores the raw head output."""
         self.quantiles = tuple(quantiles)
         nq = len(self.quantiles)
         self.stats = np.zeros((num_horizons, 1 + 2 * nq), dtype=np.float64)
         scale, mean = scaler_affine(scaler)
         self.scale = jnp.asarray(scale, jnp.float32)
         self.mean = jnp.asarray(mean, jnp.float32)
+        self.offsets = jnp.asarray(
+            np.zeros((num_horizons, nq)) if offsets is None else offsets,
+            jnp.float32,
+        )
         self.flush_every = flush_every
         self._pending: list[jnp.ndarray] = []
 
@@ -228,7 +243,7 @@ class StreamingQuantileMetrics:
             valid = jnp.ones((y_true_scaled.shape[0],), bool)
         s = batch_quantile_stats(
             y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
-            self.quantiles,
+            self.quantiles, self.offsets,
         )
         self._pending.append(s)
         if len(self._pending) >= self.flush_every:

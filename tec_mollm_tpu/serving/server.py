@@ -262,6 +262,25 @@ class ForecastService:
 
             self.ex = EvalExecutor(cfg, graph, params, batch_size=max_batch)
             self.max_batch = self.ex.batch_size  # rounded up to tile the mesh
+        # split-conformal band calibration (evaluation/conformal.py): the
+        # offsets file `test.py --conformal fit` writes next to the checkpoint
+        # calibrates served quantile bands automatically
+        self.conformal = None
+        if cfg.model.quantiles:
+            from tec_mollm_tpu.evaluation.conformal import ConformalOffsets
+
+            conf_path = ConformalOffsets.path_for(self.ckpt_path)
+            if os.path.exists(conf_path):
+                off = ConformalOffsets.load(conf_path)
+                if tuple(off.quantiles) == tuple(cfg.model.quantiles):
+                    self.conformal = off
+                    logger.info("serving conformal-calibrated bands (%s)", conf_path)
+                else:
+                    logger.warning(
+                        "conformal offsets at %s have levels %s != model %s — "
+                        "serving raw bands", conf_path, off.quantiles,
+                        cfg.model.quantiles,
+                    )
         # one lock around device work: requests serialize on the chip anyway,
         # and jit re-entry from many threads buys nothing
         self._lock = threading.Lock()
@@ -362,6 +381,10 @@ class ForecastService:
         if quantiles:
             out["quantile_levels"] = list(quantiles)
             out["forecast_quantiles"] = all_phys.tolist()
+            if self.conformal is not None:
+                out["forecast_quantiles_conformal"] = (
+                    self.conformal.apply_physical(all_phys).tolist()
+                )
         return out
 
     def stats(self) -> dict[str, Any]:

@@ -45,6 +45,15 @@ def main() -> None:
     p.add_argument("--tail-frac", type=float, default=1.0,
                    help="score only the chronologically last fraction of the "
                         "split's windows (default 1.0 = all)")
+    p.add_argument("--conformal", default="auto", metavar="MODE",
+                   help="split-conformal calibration of the quantile head's "
+                        "intervals (evaluation/conformal.py): 'fit' = "
+                        "calibrate per-(horizon, level) offsets on the VAL "
+                        "split and save conformal.npz next to the checkpoint; "
+                        "'auto' (default) = use conformal.npz if present; "
+                        "'off' = raw intervals only; or a path to an offsets "
+                        "file. Conformal metrics appear as a second "
+                        "probabilistic block + quantile_metrics_conformal.csv")
     p.add_argument("--rollout-steps", type=int, default=0,
                    help="also run an autoregressive rollout eval this many steps "
                         "beyond L_out (predictions fed back as inputs)")
@@ -90,6 +99,7 @@ def main() -> None:
         sarima_season=args.sarima_season,
         split=args.split,
         tail_frac=args.tail_frac,
+        conformal=None if args.conformal == "off" else args.conformal,
     )
 
     if args.rollout_steps > 0:
