@@ -41,7 +41,7 @@ def main() -> None:
     parser.add_argument("--no-bf16", action="store_true", help="fp32 compute")
     parser.add_argument("--preset", default="default",
                         help="config preset: default | scale_up | long_horizon | "
-                             "scaled_backbone")
+                             "scaled_backbone | operational")
     parser.add_argument("--eval", action="store_true",
                         help="measure deterministic eval forward instead of the "
                              "train step")

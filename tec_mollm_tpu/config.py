@@ -346,11 +346,38 @@ def scaled_backbone_config() -> Config:
     return Config(model=model, train=train).resolved()
 
 
+def operational_config() -> Config:
+    """Operational distribution-shift preset: everything the round-3 A/Bs
+    proved for deployment across solar-cycle shift, bundled (BASELINE.md
+    "RevIN under distribution shift", quantile r3k, stride regimes):
+
+      * revin            — flips the shifted solar-cycle arena from losing to
+                           HA by 10% to beating it by 10.9% MAE (the unseen
+                           activity level moves into the per-window affine);
+      * quantiles         — 0.1/0.5/0.9 probabilistic bands for operations;
+                           calibrate with `test.py --conformal fit` (split-
+                           conformal offsets, evaluation/conformal.py);
+      * stride 1          — the learning regime; the reference's stride-12
+                           default phase-locks and memorizes (DESIGN §15);
+      * val_tail_frac 0.3 — select checkpoints on the chronologically last
+                           30% of val: full-period val RANKED SHIFTED ARMS
+                           BACKWARDS in round 3.
+
+    Precedent: the reference ships regime presets as launch scripts
+    (train_2gpu.sh:3-12, train_with_dynamic_naming.sh:3-24)."""
+    model = ModelConfig(revin=True, quantiles=(0.1, 0.5, 0.9))
+    train = TrainConfig(
+        train_stride=1, batch_size=8, accumulation_steps=1, val_tail_frac=0.3,
+    )
+    return Config(model=model, train=train).resolved()
+
+
 PRESETS = {
     "default": lambda: Config().resolved(),
     "scale_up": scale_up_config,
     "long_horizon": long_horizon_config,
     "scaled_backbone": scaled_backbone_config,
+    "operational": operational_config,
 }
 
 

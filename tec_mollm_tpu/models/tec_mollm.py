@@ -94,6 +94,19 @@ class TECMoLLM(nn.Module):
     # A/B: 120.2 vs 121.6 ms/step (+1.1%), parity-tested vs nn.LayerNorm
     # (tests/test_gpt2_golden.py) — on by default.
     lean_ln: bool = True
+    # Roofline shape experiment (DESIGN §20): round the node axis up to a
+    # multiple of this after the embedding (2911 -> 2944 = 23x128 at the
+    # default grid) so the lane-major stencil-GAT stages and the B*N-batched
+    # matmul stages tile without a ragged 128-lane tail. Padded nodes carry
+    # zero features, all-False stencil validity (so no real node attends to
+    # them), and are sliced off before the output. 0 = off.
+    pad_nodes_to: int = 0
+    # Roofline shape experiment: express each conv block's three branches as
+    # ONE explicit im2col gather + a single fat (kmax*C_in, 3*C_out) matmul
+    # with per-branch zero-padded taps, instead of conv_general_dilated ops —
+    # same parameters/math as fuse_conv, different lowering (plain MXU GEMM
+    # vs XLA's conv algorithm). See temporal.MultiScaleConvBlock.
+    im2col_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -124,6 +137,23 @@ class TECMoLLM(nn.Module):
             x, time_features
         )
 
+        # 1b. (opt-in) lane padding of the node axis: zero features, no valid
+        # neighbor edges, sliced off again before the output reshape — real
+        # nodes' math is untouched (wrap/roll reads of the pad region were
+        # already masked invalid on the unpadded grid)
+        n_orig = n
+        if self.pad_nodes_to:
+            n_pad = (-n) % self.pad_nodes_to
+            if n_pad:
+                h = jnp.pad(h, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+                if self.stencil_shifts is not None:
+                    # stencil mode: neighbors is the (O, N) validity mask
+                    neighbors = jnp.pad(neighbors, ((0, 0), (0, n_pad)))
+                else:
+                    neighbors = jnp.pad(neighbors, ((0, n_pad), (0, 0)))
+                    neighbor_mask = jnp.pad(neighbor_mask, ((0, n_pad), (0, 0)))
+                n += n_pad
+
         # 2-4. graph attention + residual, applied per (batch, timestep) slice
         h = SpatialEncoder(
             cfg,
@@ -143,6 +173,7 @@ class TECMoLLM(nn.Module):
             dtype=self.dtype,
             fuse_branches=self.fuse_conv,
             lean_gn=self.lean_gn,
+            im2col=self.im2col_conv,
             name="temporal",
         )(h)
 
@@ -168,6 +199,8 @@ class TECMoLLM(nn.Module):
         )
         preds = preds.reshape(b, n, cfg.prediction_horizon, cfg.num_outputs)
         preds = preds.transpose(0, 2, 1, 3).astype(jnp.float32)
+        if n != n_orig:
+            preds = preds[:, :, :n_orig]
         if cfg.quantiles:
             # non-crossing guarantee: levels are monotone along the last axis
             # (sort is differentiable in JAX; pinball trains through it)

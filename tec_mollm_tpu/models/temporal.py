@@ -68,6 +68,12 @@ class MultiScaleConvBlock(nn.Module):
     kernel_sizes: Sequence[int] = (3, 5, 7)
     fuse_branches: bool = True
     lean_gn: bool = False
+    # express the 3 branches as ONE explicit im2col gather + a single fat
+    # (kmax*C_in, 3*C_out) GEMM with zero taps outside each branch's support —
+    # same parameters/math as fuse_branches, but lowered as a plain MXU matmul
+    # instead of XLA's conv algorithm (DESIGN §20 shape experiment: the conv
+    # stage sits ~4x above its HBM/MXU floor)
+    im2col: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -76,6 +82,8 @@ class MultiScaleConvBlock(nn.Module):
         in_features = x.shape[-1]
         if self.lean_gn:
             return self._lean(x, in_features)
+        if self.im2col:
+            return self._im2col(x, in_features)
         norms = {
             k: nn.GroupNorm(
                 num_groups=1, epsilon=1e-5, dtype=self.dtype, name=f"norm_k{k}"
@@ -123,6 +131,55 @@ class MultiScaleConvBlock(nn.Module):
 
         concat = jnp.concatenate(branches, axis=-1)
         # 1x1 strided conv: picks every stride-th position (torch Conv1d k=1 stride=s)
+        return nn.Conv(
+            self.out_channels,
+            kernel_size=(1,),
+            strides=(self.stride,),
+            padding="VALID",
+            dtype=self.dtype,
+            name="final_conv",
+        )(concat)
+
+    def _im2col(self, x: jnp.ndarray, in_features: int) -> jnp.ndarray:
+        """Identical math to the fused path; one unfold + one GEMM.
+
+        Unfold x (B, L, C) to (B, L, kmax*C) windows (SAME zero padding), then
+        multiply by the per-branch kernels stacked as a (kmax*C, 3*C_out)
+        matrix with zeros outside each branch's centered taps. Parameter
+        names/shapes match nn.Conv exactly (checkpoint-compatible)."""
+        kmax = max(self.kernel_sizes)
+        norms = {
+            k: nn.GroupNorm(
+                num_groups=1, epsilon=1e-5, dtype=self.dtype, name=f"norm_k{k}"
+            )
+            for k in self.kernel_sizes
+        }
+        kernels, biases = [], []
+        for k in self.kernel_sizes:
+            w, bb = _ConvParams(
+                self.out_channels, k, in_features, name=f"conv_k{k}"
+            )()
+            pad = (kmax - k) // 2
+            kernels.append(jnp.pad(w, ((pad, pad), (0, 0), (0, 0))))
+            biases.append(bb)
+        # (kmax, C_in, 3*C_out) -> (kmax*C_in, 3*C_out)
+        big = jnp.concatenate(kernels, axis=-1).astype(self.dtype)
+        big = big.reshape(kmax * in_features, -1)
+        big_bias = jnp.concatenate(biases).astype(self.dtype)
+
+        b, length, _ = x.shape
+        half = kmax // 2
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (half, half), (0, 0)))
+        idx = jnp.arange(length)[:, None] + jnp.arange(kmax)[None, :]  # (L, K)
+        win = xp[:, idx]                                  # (B, L, K, C_in)
+        y = win.reshape(b, length, kmax * in_features) @ big + big_bias
+        branches = [
+            nn.gelu(norms[k](part), approximate=False)
+            for k, part in zip(
+                self.kernel_sizes, jnp.split(y, len(self.kernel_sizes), axis=-1)
+            )
+        ]
+        concat = jnp.concatenate(branches, axis=-1)
         return nn.Conv(
             self.out_channels,
             kernel_size=(1,),
@@ -198,6 +255,7 @@ class TemporalEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fuse_branches: bool = True
     lean_gn: bool = False
+    im2col: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -213,6 +271,7 @@ class TemporalEncoder(nn.Module):
                 kernel_sizes=cfg.conv_kernel_sizes,
                 fuse_branches=self.fuse_branches,
                 lean_gn=self.lean_gn,
+                im2col=self.im2col,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(x)

@@ -105,10 +105,12 @@ class TestMidEpochResume:
         self, split, tiny_graph, tmp_path
     ):
         cfg = _cfg()
-        # Run A: the uninterrupted reference epoch (7 macro steps at B=2x2)
+        # Run A: the uninterrupted reference epoch — 30 windows at macro B=4
+        # = 7 full steps + 1 padded, loss-masked remainder step (every window
+        # trains; reference trailing-flush semantics, train.py:117-126)
         a = _trainer(cfg, split, tiny_graph, tmp_path / "a")
         stats_a = a.train_epoch()
-        assert stats_a["steps_in_epoch"] == 7 and not stats_a["interrupted"]
+        assert stats_a["steps_in_epoch"] == 8 and not stats_a["interrupted"]
         want = self._final_trainable(a)
 
         # Run B: interrupted after 3 steps, checkpointed mid-epoch
@@ -125,9 +127,10 @@ class TestMidEpochResume:
             lambda x, y: np.testing.assert_allclose(x, y, rtol=0, atol=0),
             want, got,
         )
-        # the resumed epoch trained only the remaining 4 steps
-        assert history[-1]["updates"] == 4
-        assert history[-1]["steps_in_epoch"] == 7
+        # the resumed epoch trained only the remaining 5 steps (incl. the
+        # padded remainder step)
+        assert history[-1]["updates"] == 5
+        assert history[-1]["steps_in_epoch"] == 8
 
     def test_periodic_step_checkpoint_survives_hard_crash(
         self, split, tiny_graph, tmp_path
@@ -152,8 +155,8 @@ class TestMidEpochResume:
             lambda x, y: np.testing.assert_allclose(x, y, rtol=0, atol=0),
             want, got,
         )
-        # resumed from step 4 (the last periodic save), retrained 5..7
-        assert history[-1]["updates"] == 3
+        # resumed from step 4 (the last periodic save), retrained 5..8
+        assert history[-1]["updates"] == 4
 
     def test_changed_batch_geometry_refused(self, split, tiny_graph, tmp_path):
         """A mid-epoch position counts macro steps of a specific batch

@@ -63,6 +63,41 @@ class TestForward:
         np.testing.assert_allclose(out[0], out2[0], atol=1e-5)
         assert not np.allclose(out[1], out2[1])
 
+    def test_pad_nodes_equals_unpadded(self, setup, tiny_graph):
+        """pad_nodes_to (DESIGN §20 lane-padding experiment) must not change
+        any real node's output, in both graph modes, on the SAME params."""
+        from tec_mollm_tpu.models.tec_mollm import graph_inputs
+
+        cfg, model, params, (x, tf, nbrs, mask) = setup
+        want = np.asarray(model.apply(params, x, tf, nbrs, mask))
+        # 48 nodes -> pad to 52: genuinely ragged against the multiple
+        padded = TECMoLLM(cfg.model, pad_nodes_to=13)
+        got = np.asarray(padded.apply(params, x, tf, nbrs, mask))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+        shifts, (g1, g2) = graph_inputs(tiny_graph)
+        if shifts is not None:
+            base_s = TECMoLLM(cfg.model, stencil_shifts=shifts, gat_pallas=False)
+            pad_s = TECMoLLM(
+                cfg.model, stencil_shifts=shifts, gat_pallas=False,
+                pad_nodes_to=13,
+            )
+            np.testing.assert_allclose(
+                np.asarray(pad_s.apply(params, x, tf, g1, g2)),
+                np.asarray(base_s.apply(params, x, tf, g1, g2)),
+                atol=1e-5,
+            )
+
+    def test_im2col_forward_matches_default(self, setup):
+        """Full-model im2col conv lowering: same params, same outputs."""
+        cfg, model, params, args = setup
+        want = np.asarray(model.apply(params, *args))
+        got = np.asarray(
+            TECMoLLM(cfg.model, im2col_conv=True).apply(params, *args)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_bf16_forward(self, setup):
         cfg, model, params, args = setup
         model_bf16 = TECMoLLM(cfg.model, dtype=jnp.bfloat16)

@@ -228,6 +228,23 @@ class TestTemporal:
             atol=1e-5,
         )
 
+    def test_im2col_equals_unfused(self):
+        """im2col (one unfold + one fat GEMM, DESIGN §20 shape experiment) must
+        be exactly the three separate convs on the SAME parameters."""
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(4, 16, 6)).astype(np.float32))
+        plain = MultiScaleConvBlock(out_channels=8, stride=2, fuse_branches=False)
+        params = plain.init(jax.random.key(0), x)
+        im2col = MultiScaleConvBlock(out_channels=8, stride=2, im2col=True)
+        assert jax.tree.structure(im2col.init(jax.random.key(1), x)) == (
+            jax.tree.structure(params)
+        )
+        np.testing.assert_allclose(
+            np.asarray(im2col.apply(params, x)),
+            np.asarray(plain.apply(params, x)),
+            atol=1e-5,
+        )
+
     def test_lean_gn_equals_unfused(self):
         """lean_gn (stats on full length, normalize+GELU only at strided positions,
         summed partial matmuls instead of concat) must match the plain path on the

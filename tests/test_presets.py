@@ -39,6 +39,18 @@ class TestPresets:
         assert g300.edge_index.shape[1] > 1.8 * g150.edge_index.shape[1]
         assert g300.has_stencil and len(g300.stencil_shifts) > len(g150.stencil_shifts)
 
+    def test_operational_derived(self):
+        from tec_mollm_tpu.config import operational_config
+
+        cfg = operational_config()
+        # the round-3-proven shift bundle (BASELINE.md): revin + quantile bands
+        # + stride-1 learning regime + tail-val model selection
+        assert cfg.model.revin is True
+        assert cfg.model.quantiles == (0.1, 0.5, 0.9)
+        assert cfg.model.median_index == 1
+        assert cfg.train.train_stride == 1
+        assert cfg.train.val_tail_frac == 0.3
+
     def test_scaled_backbone_derived(self):
         cfg = scaled_backbone_config()
         assert cfg.model.d_llm == 1024
@@ -61,4 +73,5 @@ class TestPresets:
             return model.apply(params, x, tf, nbrs, mask)
 
         out = jax.eval_shape(full, x, tf, nbrs, mask)
-        assert out.shape == (1, m.prediction_horizon, m.num_nodes, 1)
+        # num_outputs = 1 point forecast, or len(quantiles) levels (operational)
+        assert out.shape == (1, m.prediction_horizon, m.num_nodes, m.num_outputs)

@@ -1,0 +1,92 @@
+"""Virtual-pod rehearsal of the scale_up architecture (VERDICT r3 weak #3).
+
+The scale_up preset is the reference's 4-GPU launch configuration
+(train_with_dynamic_naming.sh:3-24: L_in=336, 6 LLM layers, stride 3,
+effective batch 8/replica) and its multi-chip story was previously HBM
+arithmetic plus a tiny-config dryrun — no test ever ran the REAL architecture
+(T=21 einsum-attention path, accum-8 scan, 6-layer backbone) through a
+sharded Trainer. This does: the preset's model/train config with only the
+node grid reduced (48 nodes instead of 2911 — node count is a data dim, not
+an architecture path), fit + streaming validation on the 8-virtual-device
+CPU mesh at dp4 x tp2.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from tec_mollm_tpu.config import scale_up_config
+from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+from tec_mollm_tpu.data.synthetic import grid_coordinates, synthetic_processed_split
+from tec_mollm_tpu.graph import build_graph
+
+
+@pytest.mark.slow
+class TestScaleUpVirtualPod:
+    def test_scale_up_architecture_trains_sharded(self, tmp_path):
+        cfg = scale_up_config()
+        # ONLY the node grid shrinks (and epochs); everything architectural
+        # stays the preset's: L_in=336 -> 84 latent -> 21 patches (einsum
+        # attention, T > UNROLL_MAX_SEQ), 6 layers, B=1 x accum 8, remat off
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, num_nodes=48, grid_h=6, grid_w=8
+            ),
+            train=dataclasses.replace(
+                cfg.train, epochs=1, model_parallel=2, val_stride=6,
+            ),
+        )
+        assert cfg.model.num_patches == 21          # einsum-attention regime
+        assert cfg.train.accumulation_steps == 8
+        assert cfg.model.llm_layers == 6
+
+        from tec_mollm_tpu.parallel.mesh import make_mesh
+        from tec_mollm_tpu.training.trainer import Trainer
+
+        mesh = make_mesh(data_parallel=4, model_parallel=2)
+        dp = 4
+        macro = cfg.train.accumulation_steps * cfg.train.batch_size * dp  # 32
+        train_split = synthetic_processed_split(
+            num_windows=macro + 8, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=cfg.model.num_nodes, seed=0,
+        )
+        val_split = synthetic_processed_split(
+            num_windows=24, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=cfg.model.num_nodes, seed=1,
+        )
+        train_ds = SlidingWindowDataset(
+            train_split, cfg.train.L_in, cfg.train.L_out,
+            stride=cfg.train.train_stride,
+        )
+        val_ds = SlidingWindowDataset(
+            val_split, cfg.train.L_in, cfg.train.L_out,
+            stride=cfg.train.val_stride,
+        )
+        assert len(train_ds) > 0 and len(val_ds) > 0
+
+        lat, lon = grid_coordinates(cfg.model.grid_h, cfg.model.grid_w)
+        graph = build_graph(
+            lat, lon, distance_threshold_km=cfg.data.distance_threshold_km
+        )
+        tr = Trainer(
+            cfg, train_ds, val_ds, graph, None,
+            workdir=str(tmp_path), run_name="scaleup_pod", mesh=mesh,
+        )
+        assert tr.dp == 4 and tr.macro_batch == macro
+
+        hist = tr.fit()
+        assert len(hist) == 1
+        rec = hist[0]
+        # padded-remainder semantics: ceil(windows / macro) updates
+        assert rec["updates"] == -(-len(train_ds) // macro)
+        assert np.isfinite(rec["train_loss"])
+        assert np.isfinite(rec["val_loss"])
+        assert np.isfinite(rec["mae_avg"])
+
+        # tp=2 really sharded the 6-layer backbone on the pod mesh
+        ca = tr.state.frozen["llm"]["h_0"]["attn"]["c_attn"]["kernel"]
+        assert not ca.sharding.is_fully_replicated
+        assert int(tr.state.step) == rec["updates"]

@@ -107,7 +107,7 @@ def parse_args() -> argparse.Namespace:
                    help="write a jax.profiler trace of epoch 0 to this directory")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--run-name", default=None)
-    p.add_argument("--config", default=None, help="preset name (default/scale_up/long_horizon/scaled_backbone) or config json path")
+    p.add_argument("--config", default=None, help="preset name (default/scale_up/long_horizon/scaled_backbone/operational) or config json path")
     p.add_argument("--gpt2-checkpoint", default=None,
                    help="torch GPT-2/peft state_dict (.pt/.bin) or HF dir to import")
     args = p.parse_args()
