@@ -7,6 +7,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def huber_elementwise(
+    preds: jnp.ndarray, targets: jnp.ndarray, delta: float = 1.0
+) -> jnp.ndarray:
+    err = preds - targets
+    abs_err = jnp.abs(err)
+    quadratic = jnp.minimum(abs_err, delta)
+    linear = abs_err - quadratic
+    return 0.5 * quadratic**2 + delta * linear
+
+
 def huber_loss(
     preds: jnp.ndarray,
     targets: jnp.ndarray,
@@ -15,17 +25,21 @@ def huber_loss(
 ) -> jnp.ndarray:
     """Mean Huber loss. `weights` (broadcastable 0/1 mask) supports padded eval
     batches; with weights the mean runs over weighted elements only."""
-    err = preds - targets
-    abs_err = jnp.abs(err)
-    quadratic = jnp.minimum(abs_err, delta)
-    linear = abs_err - quadratic
-    elementwise = 0.5 * quadratic**2 + delta * linear
+    elementwise = huber_elementwise(preds, targets, delta)
     if weights is None:
         return jnp.mean(elementwise)
     weights = jnp.broadcast_to(weights, elementwise.shape)
     total = jnp.sum(elementwise * weights)
     count = jnp.maximum(jnp.sum(weights), 1.0)
     return total / count
+
+
+def pinball_elementwise(
+    preds: jnp.ndarray, targets: jnp.ndarray, quantiles: tuple[float, ...]
+) -> jnp.ndarray:
+    q = jnp.asarray(quantiles, preds.dtype)  # (Q,)
+    err = targets - preds                    # (..., Q) via broadcast
+    return jnp.maximum(q * err, (q - 1.0) * err)
 
 
 def pinball_loss(
@@ -42,9 +56,7 @@ def pinball_loss(
     huber_loss's (padded eval rows); the mean runs over weighted elements
     and averages across levels.
     """
-    q = jnp.asarray(quantiles, preds.dtype)  # (Q,)
-    err = targets - preds                    # (..., Q) via broadcast
-    elementwise = jnp.maximum(q * err, (q - 1.0) * err)
+    elementwise = pinball_elementwise(preds, targets, quantiles)
     if weights is None:
         return jnp.mean(elementwise)
     weights = jnp.broadcast_to(weights, elementwise.shape)

@@ -136,7 +136,7 @@ def point_forecast(preds: jnp.ndarray, cfg: Config) -> jnp.ndarray:
 
 
 def make_loss_fn(model, cfg: Config) -> Callable:
-    """loss_fn(trainable, frozen, batch, graph, rng) -> loss.
+    """loss_fn(trainable, frozen, batch, graph, rng) -> loss (weighted mean).
 
     batch['valid'] (when present) loss-masks padded rows: the final macro
     batch of an epoch is padded to full size with repeats instead of dropped,
@@ -164,6 +164,47 @@ def make_loss_fn(model, cfg: Config) -> Callable:
     return loss_fn
 
 
+def make_sum_loss_fn(model, cfg: Config) -> Callable:
+    """loss_fn(...) -> (weighted SUM of elementwise objective, weight count).
+
+    The train step's form: accumulating (sum, count) across microbatches and
+    dividing ONCE yields the exact valid-weighted global mean of the macro
+    batch, identical for every partition of the rows into microbatches or
+    process shards. Per-microbatch means averaged equally (the naive form)
+    are partition-DEPENDENT as soon as a padded remainder makes valid counts
+    unequal across microbatches — caught by the 2-process-vs-1-process parity
+    test. On full batches sum/count equals mean-of-means exactly."""
+    from tec_mollm_tpu.training.loss import huber_elementwise, pinball_elementwise
+
+    def loss_fn(trainable, frozen, batch, graph, dropout_rng):
+        params = merge_params(trainable, frozen)
+        neighbors, neighbor_mask = graph
+        preds = model.apply(
+            {"params": params},
+            batch["x"],
+            batch["time_features"],
+            neighbors,
+            neighbor_mask,
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        targets = _targets_from_batch(batch)
+        if cfg.model.quantiles:
+            elem = pinball_elementwise(preds, targets, cfg.model.quantiles)
+        else:
+            elem = huber_elementwise(preds, targets, delta=cfg.train.huber_delta)
+        valid = batch.get("valid")
+        w = (
+            jnp.ones((preds.shape[0],), elem.dtype)
+            if valid is None
+            else valid.astype(elem.dtype)
+        )
+        wb = jnp.broadcast_to(w[:, None, None, None], elem.shape)
+        return jnp.sum(elem * wb), jnp.sum(wb)
+
+    return loss_fn
+
+
 def make_train_step(
     model, cfg: Config, tx: optax.GradientTransformation, gather: bool = False
 ) -> Callable:
@@ -181,8 +222,11 @@ def make_train_step(
     materialized beyond one microbatch and nothing streams from the host.
     """
     accum = cfg.train.accumulation_steps
-    loss_fn = make_loss_fn(model, cfg)
-    grad_fn = jax.value_and_grad(loss_fn, argnums=0)
+    # weighted-SUM objective + one division by the macro batch's total valid
+    # weight: the exact global mean, invariant to how rows are partitioned
+    # into microbatches or process shards (see make_sum_loss_fn)
+    loss_fn = make_sum_loss_fn(model, cfg)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=0, has_aux=True)
 
     def train_step(state: TrainState, batch: dict[str, jnp.ndarray], graph, data=None):
         dropout_rng = jax.random.fold_in(state.rng, state.step)
@@ -197,24 +241,27 @@ def make_train_step(
             micro = jax.tree.map(to_micro, batch)
 
             def body(carry, mb):
-                loss_sum, grad_sum, i = carry
+                loss_sum, count_sum, grad_sum, i = carry
                 mb_rng = jax.random.fold_in(dropout_rng, i)
-                loss, grads = grad_fn(
+                (wsum, count), grads = grad_fn(
                     state.trainable, state.frozen, resolve(mb), graph, mb_rng
                 )
                 grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
-                return (loss_sum + loss, grad_sum, i + 1), None
+                return (loss_sum + wsum, count_sum + count, grad_sum, i + 1), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
-            (loss_sum, grad_sum, _), _ = jax.lax.scan(
-                body, (jnp.zeros(()), zero_grads, jnp.zeros((), jnp.int32)), micro
+            (loss_sum, count_sum, grad_sum, _), _ = jax.lax.scan(
+                body,
+                (jnp.zeros(()), jnp.zeros(()), zero_grads, jnp.zeros((), jnp.int32)),
+                micro,
             )
-            loss = loss_sum / accum
-            grads = jax.tree.map(lambda g: g / accum, grad_sum)
         else:
-            loss, grads = grad_fn(
+            (loss_sum, count_sum), grad_sum = grad_fn(
                 state.trainable, state.frozen, resolve(batch), graph, dropout_rng
             )
+        denom = jnp.maximum(count_sum, 1.0)
+        loss = loss_sum / denom
+        grads = jax.tree.map(lambda g: g / denom, grad_sum)
 
         # mean gradients across data-parallel replicas happen implicitly: under jit
         # with sharded batch + replicated params, XLA inserts the psum (GSPMD).

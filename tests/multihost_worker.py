@@ -59,6 +59,11 @@ def main() -> None:
                         "reaches this epoch — exercises the host-local-signal "
                         "-> _sync_stop_flag -> joint-stop path (a desync here "
                         "wedges the peer in the next epoch's first collective)")
+    p.add_argument("--device-data", action="store_true",
+                   help="device-resident archive mode (data/device_data.py): "
+                        "raw series placed replicated via put_global, loaders "
+                        "ship only window-start indices — the multihost "
+                        "variant of the mode")
     args = p.parse_args()
 
     jax.distributed.initialize(
@@ -88,13 +93,24 @@ def main() -> None:
         train=dataclasses.replace(cfg.train, epochs=args.epochs),
     )
 
-    train_ds = SlidingWindowDataset.from_dir(
-        args.data_dir, "train", cfg.train.L_in, cfg.train.L_out,
-        stride=cfg.train.train_stride,
-    )
-    val_ds = SlidingWindowDataset.from_dir(
-        args.data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
-    )
+    if args.device_data:
+        from tec_mollm_tpu.data.device_data import DeviceResidentDataset
+
+        train_ds = DeviceResidentDataset(
+            args.data_dir, "train", cfg.train.L_in, cfg.train.L_out,
+            stride=cfg.train.train_stride,
+        )
+        val_ds = DeviceResidentDataset(
+            args.data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+        )
+    else:
+        train_ds = SlidingWindowDataset.from_dir(
+            args.data_dir, "train", cfg.train.L_in, cfg.train.L_out,
+            stride=cfg.train.train_stride,
+        )
+        val_ds = SlidingWindowDataset.from_dir(
+            args.data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+        )
     graph = GraphData.load(os.path.join(args.data_dir, "graph.npz"))
     scaler_path = os.path.join(args.data_dir, "target_scaler.npz")
     scaler = StandardScaler.load(scaler_path) if os.path.exists(scaler_path) else None

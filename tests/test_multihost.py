@@ -40,6 +40,7 @@ def _spawn_workers(
     data_dir: str, workdir: str, epochs: int,
     resume: bool = False, post_eval: bool = False,
     stop_signal_epoch: int | None = None,
+    device_data: bool = False,
 ):
     port = _free_port()
     env = dict(os.environ)
@@ -63,6 +64,8 @@ def _spawn_workers(
             args.append("--post-eval")
         if stop_signal_epoch is not None:
             args += ["--stop-signal-epoch", str(stop_signal_epoch)]
+        if device_data:
+            args.append("--device-data")
         procs.append(
             subprocess.Popen(
                 args, env=env, cwd=REPO,
@@ -282,3 +285,28 @@ class TestTwoProcessTraining:
             meta = json.load(f)
         assert meta["epoch"] == results[0]["final_epoch"]
         assert meta["process_count"] == 2
+
+    def test_two_process_device_data_matches_host_single_process(
+        self, data_dir, tmp_path
+    ):
+        """Device-resident mode under process_count=2: raw series placed
+        replicated via put_global, index-only shard loaders, gather inside
+        the sharded jitted step — one epoch must reproduce the HOST-pipeline
+        single-process losses (bit-parity gather + partition-invariant
+        sum/count objective)."""
+        mh_dir = str(tmp_path / "mh_dev")
+        sp_dir = str(tmp_path / "sp_host")
+        os.makedirs(mh_dir)
+        os.makedirs(sp_dir)
+        results = _spawn_workers(data_dir, mh_dir, epochs=1, device_data=True)
+        sp_history = _single_process_history(data_dir, sp_dir, epochs=1)
+
+        assert results[0]["best_val_loss"] == pytest.approx(
+            results[1]["best_val_loss"], rel=1e-6
+        )
+        mh = results[0]["history"][0]
+        sp = sp_history[0]
+        assert mh["updates"] == sp["updates"]
+        assert mh["train_loss"] == pytest.approx(sp["train_loss"], rel=2e-4)
+        assert mh["val_loss"] == pytest.approx(sp["val_loss"], rel=2e-4)
+        assert mh["mae_avg"] == pytest.approx(sp["mae_avg"], rel=2e-3)
