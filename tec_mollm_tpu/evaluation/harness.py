@@ -889,10 +889,19 @@ def _resolve_conformal(
     scaler: StandardScaler | None,
     batch_size: int,
     dataset_cls=None,
+    tail_frac: float = 1.0,
 ):
     """Resolve run_evaluation's `conformal` argument into ConformalOffsets
     (or None). 'fit' calibrates on the val split and persists conformal.npz
-    next to the checkpoint, so later 'auto' evals / predict / serve reuse it."""
+    next to the checkpoint, so later 'auto' evals / predict / serve reuse it.
+
+    tail_frac < 1 calibrates on only the chronologically LAST fraction of val:
+    split conformal assumes exchangeability, and residual scale drifts between
+    the val period and the later test period — the 4k arena measured 0.760
+    observed for the 0.800 band when fit on the full val (the low level
+    overshot: test residuals' low tail is milder than early-val's). The val
+    tail is the closest proxy for the deployment epoch, same argument as
+    TrainConfig.val_tail_frac."""
     import jax
 
     from tec_mollm_tpu.data.device_data import DeviceResidentDataset
@@ -907,11 +916,13 @@ def _resolve_conformal(
     if conformal == "fit":
         if dataset_cls is DeviceResidentDataset:
             val_ds = DeviceResidentDataset(
-                data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+                data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1,
+                tail_frac=tail_frac,
             )
         else:
             val_ds = SlidingWindowDataset.from_dir(
-                data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1
+                data_dir, "val", cfg.train.L_in, cfg.train.L_out, stride=1,
+                tail_frac=tail_frac,
             )
         if len(val_ds) == 0:
             logger.warning("val split empty — cannot fit conformal offsets")
@@ -954,6 +965,7 @@ def run_evaluation(
     split: str = "test",
     tail_frac: float = 1.0,
     conformal: str | None = None,
+    conformal_tail_frac: float = 1.0,
 ) -> dict[str, Any]:
     """Score a checkpoint (and baselines) on a processed split.
 
@@ -1008,6 +1020,7 @@ def run_evaluation(
         offsets = _resolve_conformal(
             conformal, cfg, params, data_dir, ckpt_path, graph, scaler,
             batch_size, dataset_cls=type(test_ds),
+            tail_frac=conformal_tail_frac,
         )
 
     logger.info(

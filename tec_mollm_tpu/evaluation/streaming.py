@@ -162,13 +162,14 @@ def batch_quantile_stats(
     scale: jnp.ndarray,          # () target-scaler scale
     mean: jnp.ndarray,           # () target-scaler mean
     quantiles: tuple[float, ...],
-    offsets: jnp.ndarray,        # (L_out, Q) physical additive offsets (zeros = raw)
+    offsets: jnp.ndarray | None = None,  # (L_out, Q) physical conformal offsets
 ) -> jnp.ndarray:
     """-> (L_out, 1 + 2Q) float32 per-horizon sufficient statistics for
     probabilistic forecasts: [n, pinball_sum per level, below_count per level]
     in physical units with the same guard/clip semantics as the point stats.
-    `offsets` applies split-conformal calibration (evaluation/conformal.py):
-    levels are shifted, re-sorted (no crossing), and re-clipped."""
+    `offsets` (not None) applies split-conformal calibration
+    (evaluation/conformal.py): levels are shifted, re-sorted (no crossing),
+    and re-clipped; None scores the raw forecasts exactly as given."""
     nq = len(quantiles)
     l_out = y_true_scaled.shape[1]
     yt = y_true_scaled.reshape(y_true_scaled.shape[0], l_out, -1).astype(jnp.float32)
@@ -182,10 +183,11 @@ def batch_quantile_stats(
     yt = jnp.nan_to_num(yt, nan=0.0, posinf=100.0, neginf=0.0)
     yp = jnp.clip(jnp.nan_to_num(yp, nan=0.0, posinf=100.0, neginf=0.0),
                   TEC_MIN, TEC_MAX)
-    yp = jnp.clip(
-        jnp.sort(yp + offsets[None, :, None, :].astype(jnp.float32), axis=-1),
-        TEC_MIN, TEC_MAX,
-    )
+    if offsets is not None:
+        yp = jnp.clip(
+            jnp.sort(yp + offsets[None, :, None, :].astype(jnp.float32), axis=-1),
+            TEC_MIN, TEC_MAX,
+        )
 
     w = valid.astype(jnp.float32)[:, None, None]            # (B, 1, 1)
     q = jnp.asarray(quantiles, jnp.float32)                  # (Q,)
@@ -226,9 +228,8 @@ class StreamingQuantileMetrics:
         scale, mean = scaler_affine(scaler)
         self.scale = jnp.asarray(scale, jnp.float32)
         self.mean = jnp.asarray(mean, jnp.float32)
-        self.offsets = jnp.asarray(
-            np.zeros((num_horizons, nq)) if offsets is None else offsets,
-            jnp.float32,
+        self.offsets = (
+            None if offsets is None else jnp.asarray(offsets, jnp.float32)
         )
         self.flush_every = flush_every
         self._pending: list[jnp.ndarray] = []

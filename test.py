@@ -54,6 +54,11 @@ def main() -> None:
                         "'off' = raw intervals only; or a path to an offsets "
                         "file. Conformal metrics appear as a second "
                         "probabilistic block + quantile_metrics_conformal.csv")
+    p.add_argument("--conformal-tail-frac", type=float, default=1.0,
+                   help="with --conformal fit: calibrate on only the "
+                        "chronologically last fraction of the val split "
+                        "(residual scale drifts val->test; the tail is the "
+                        "closest proxy for the deployment epoch)")
     p.add_argument("--rollout-steps", type=int, default=0,
                    help="also run an autoregressive rollout eval this many steps "
                         "beyond L_out (predictions fed back as inputs)")
@@ -100,6 +105,7 @@ def main() -> None:
         split=args.split,
         tail_frac=args.tail_frac,
         conformal=None if args.conformal == "off" else args.conformal,
+        conformal_tail_frac=args.conformal_tail_frac,
     )
 
     if args.rollout_steps > 0:

@@ -82,7 +82,11 @@ def main() -> None:
 
     cfg = tiny_config()
     # deterministic parity across process counts: no dropout (masks are drawn by
-    # position in the global batch, which permutes across process counts)
+    # position in the global batch, which permutes across process counts) and
+    # fp32 compute — different topologies compile different XLA programs whose
+    # bf16 rounding differs at the ~2e-4 level even for per-row-independent
+    # math; fp32 keeps the parity assertions tight enough to catch real
+    # layout/sharding bugs
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
@@ -90,7 +94,7 @@ def main() -> None:
             gat_dropout=0.0, lora_dropout=0.0, llm_dropout=0.0,
             head_dropout=0.0, post_llm_dropout=0.0,
         ),
-        train=dataclasses.replace(cfg.train, epochs=args.epochs),
+        train=dataclasses.replace(cfg.train, epochs=args.epochs, bf16=False),
     )
 
     if args.device_data:

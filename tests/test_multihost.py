@@ -138,6 +138,7 @@ def results_cfg():
             gat_dropout=0.0, lora_dropout=0.0, llm_dropout=0.0,
             head_dropout=0.0, post_llm_dropout=0.0,
         ),
+        train=dataclasses.replace(cfg.train, bf16=False),
     )
 
 
@@ -161,7 +162,7 @@ def _single_process_history(data_dir: str, workdir: str, epochs: int):
             gat_dropout=0.0, lora_dropout=0.0, llm_dropout=0.0,
             head_dropout=0.0, post_llm_dropout=0.0,
         ),
-        train=dataclasses.replace(cfg.train, epochs=epochs),
+        train=dataclasses.replace(cfg.train, epochs=epochs, bf16=False),
     )
     train_ds = SlidingWindowDataset.from_dir(
         data_dir, "train", cfg.train.L_in, cfg.train.L_out,
