@@ -51,6 +51,12 @@ RESID_LO = -200.0
 RESID_HI = 200.0
 BINS = 4000
 
+# scale mode: normalized residual t = (y - p_median) / max(band_width, eps);
+# |t| > 20 band-widths is effectively impossible — 4000 bins = 0.01 each
+T_LO = -20.0
+T_HI = 20.0
+WIDTH_EPS = 0.5  # TECU floor on the band width (avoids divide-by-~0 windows)
+
 
 @partial(jax.jit, static_argnames=("nq", "bins"))
 def batch_residual_hist(
@@ -94,9 +100,78 @@ def batch_residual_hist(
     return hist.reshape(l_out, nq, bins)
 
 
+@partial(jax.jit, static_argnames=("nq", "median_index", "bins"))
+def batch_scaled_residual_hist(
+    y_true_scaled: jnp.ndarray,
+    y_pred_q_scaled: jnp.ndarray,
+    valid: jnp.ndarray,
+    scale: jnp.ndarray,
+    mean: jnp.ndarray,
+    nq: int,
+    median_index: int,
+    bins: int = BINS,
+) -> jnp.ndarray:
+    """-> (L_out, bins) histogram of NORMALIZED residuals
+    t = (y - p_median) / max(p_hi - p_lo, WIDTH_EPS) — the scale-conformal
+    nonconformity score. One histogram serves every level (the q-th quantile
+    of t is read off the same CDF)."""
+    l_out = y_true_scaled.shape[1]
+    yt = y_true_scaled.reshape(y_true_scaled.shape[0], l_out, -1).astype(jnp.float32)
+    yp = y_pred_q_scaled.reshape(
+        y_pred_q_scaled.shape[0], l_out, -1, nq
+    ).astype(jnp.float32)
+
+    yp = jnp.nan_to_num(yp, nan=0.0, posinf=0.0, neginf=0.0)
+    yt = yt * scale + mean
+    yp = yp * scale + mean
+    yt = jnp.nan_to_num(yt, nan=0.0, posinf=100.0, neginf=0.0)
+    yp = jnp.clip(jnp.nan_to_num(yp, nan=0.0, posinf=100.0, neginf=0.0),
+                  TEC_MIN, TEC_MAX)
+
+    med = yp[..., median_index]
+    w = jnp.maximum(yp[..., -1] - yp[..., 0], WIDTH_EPS)
+    t = (yt - med) / w                                          # (B, L, M)
+    bw = (T_HI - T_LO) / bins
+    idx = jnp.clip(jnp.floor((t - T_LO) / bw).astype(jnp.int32), 0, bins - 1)
+    l_ids = jnp.arange(l_out, dtype=jnp.int32)[None, :, None]
+    seg = l_ids * bins + idx
+    wv = jnp.broadcast_to(valid.astype(jnp.float32)[:, None, None], seg.shape)
+    hist = jax.ops.segment_sum(
+        wv.reshape(-1), seg.reshape(-1), num_segments=l_out * bins
+    )
+    return hist.reshape(l_out, bins)
+
+
+def _hist_quantile(counts: np.ndarray, q: float, edges: np.ndarray) -> float:
+    """Finite-sample conformal quantile from one histogram: target the
+    ceil(q*(n+1)) order statistic with LINEAR interpolation inside the bin
+    (a hard upper edge overshoots coverage by up to one bin's probability
+    mass — measurable when the spread is only a few bins wide)."""
+    n = counts.sum()
+    if n <= 0:
+        return 0.0
+    width = edges[1] - edges[0]
+    target = min(np.ceil(q * (n + 1)), n)
+    cdf = np.cumsum(counts)
+    k = int(np.searchsorted(cdf, target - 1e-9))
+    prev = cdf[k - 1] if k > 0 else 0.0
+    frac = (target - prev) / max(counts[k], 1.0)
+    return float(edges[k] + width * min(frac, 1.0))
+
+
 class ConformalCalibrator:
     """Streams (truth, quantile-forecast) batches into residual histograms and
-    finalizes per-(horizon, level) additive offsets in physical TECU."""
+    finalizes per-(horizon, level) conformal offsets.
+
+    mode='additive': delta[h, q] in physical TECU, applied as pred_q + delta.
+    mode='scale': delta[h, q] in band-width units, applied as
+    pred_med + delta * max(pred_hi - pred_lo, eps). Under residual-SCALE
+    drift (the solar-cycle arena: activity — and with it both the model's
+    predicted band width and the true error scale — grows from the val period
+    into the test period), additive offsets fit on val under-cover the test;
+    the normalized score transfers as long as residual/width stays stationary,
+    which RevIN encourages (width is produced through the same per-window
+    sigma as the forecast)."""
 
     def __init__(
         self,
@@ -104,25 +179,38 @@ class ConformalCalibrator:
         quantiles: tuple[float, ...],
         scaler: StandardScaler | None = None,
         flush_every: int = 64,
+        mode: str = "additive",
     ):
+        if mode not in ("additive", "scale"):
+            raise ValueError(f"unknown conformal mode {mode!r}")
+        self.mode = mode
         self.quantiles = tuple(quantiles)
         self.num_horizons = num_horizons
         scale, mean = scaler_affine(scaler)
         self.scale = jnp.asarray(scale, jnp.float32)
         self.mean = jnp.asarray(mean, jnp.float32)
-        self.hist = np.zeros(
-            (num_horizons, len(self.quantiles), BINS), dtype=np.float64
+        shape = (
+            (num_horizons, len(self.quantiles), BINS)
+            if mode == "additive"
+            else (num_horizons, BINS)
         )
+        self.hist = np.zeros(shape, dtype=np.float64)
         self.flush_every = flush_every
         self._pending: list[jnp.ndarray] = []
 
     def update(self, y_true_scaled, y_pred_q_scaled, valid=None) -> None:
         if valid is None:
             valid = jnp.ones((y_true_scaled.shape[0],), bool)
-        h = batch_residual_hist(
-            y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
-            len(self.quantiles),
-        )
+        if self.mode == "additive":
+            h = batch_residual_hist(
+                y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
+                len(self.quantiles),
+            )
+        else:
+            h = batch_scaled_residual_hist(
+                y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
+                len(self.quantiles), self.quantiles.index(0.5),
+            )
         self._pending.append(h)
         if len(self._pending) >= self.flush_every:
             self._flush()
@@ -138,53 +226,63 @@ class ConformalCalibrator:
         self._flush()
         nq = len(self.quantiles)
         offsets = np.zeros((self.num_horizons, nq), dtype=np.float64)
-        edges = np.linspace(RESID_LO, RESID_HI, BINS + 1)
-        n_total = float(self.hist[0].sum(axis=-1).max()) if nq else 0.0
-        width = edges[1] - edges[0]
-        for h in range(self.num_horizons):
-            for j, q in enumerate(self.quantiles):
-                counts = self.hist[h, j]
-                n = counts.sum()
-                if n <= 0:
-                    continue
-                # finite-sample conformal correction: target the ceil(q*(n+1))
-                # order statistic, with LINEAR interpolation inside the bin
-                # (a hard upper edge overshoots coverage by up to one bin's
-                # probability mass — measurable when the residual spread is
-                # only a few bins wide)
-                target = min(np.ceil(q * (n + 1)), n)
-                cdf = np.cumsum(counts)
-                k = int(np.searchsorted(cdf, target - 1e-9))
-                prev = cdf[k - 1] if k > 0 else 0.0
-                frac = (target - prev) / max(counts[k], 1.0)
-                offsets[h, j] = edges[k] + width * min(frac, 1.0)
+        if self.mode == "additive":
+            edges = np.linspace(RESID_LO, RESID_HI, BINS + 1)
+            n_total = float(self.hist[0].sum(axis=-1).max()) if nq else 0.0
+            for h in range(self.num_horizons):
+                for j, q in enumerate(self.quantiles):
+                    offsets[h, j] = _hist_quantile(self.hist[h, j], q, edges)
+        else:
+            edges = np.linspace(T_LO, T_HI, BINS + 1)
+            n_total = float(self.hist[0].sum())
+            for h in range(self.num_horizons):
+                for j, q in enumerate(self.quantiles):
+                    offsets[h, j] = _hist_quantile(self.hist[h], q, edges)
         return ConformalOffsets(
-            quantiles=self.quantiles, offsets=offsets, n_calibration=n_total
+            quantiles=self.quantiles, offsets=offsets, n_calibration=n_total,
+            mode=self.mode,
         )
 
 
 class ConformalOffsets:
-    """Per-(horizon, level) additive offsets in physical TECU + persistence."""
+    """Per-(horizon, level) conformal offsets + persistence.
+
+    mode='additive': offsets in physical TECU, pred'_q = pred_q + delta.
+    mode='scale': offsets in band-width units,
+    pred'_q = pred_med + delta * max(pred_hi - pred_lo, WIDTH_EPS)."""
 
     def __init__(
         self,
         quantiles: tuple[float, ...],
-        offsets: np.ndarray,              # (L_out, Q) physical TECU
+        offsets: np.ndarray,              # (L_out, Q)
         n_calibration: float = 0.0,
+        mode: str = "additive",
     ):
+        if mode not in ("additive", "scale"):
+            raise ValueError(f"unknown conformal mode {mode!r}")
         self.quantiles = tuple(float(q) for q in quantiles)
         self.offsets = np.asarray(offsets, dtype=np.float64)
         self.n_calibration = float(n_calibration)
+        self.mode = mode
         if self.offsets.ndim != 2 or self.offsets.shape[1] != len(self.quantiles):
             raise ValueError(
                 f"offsets shape {self.offsets.shape} does not match "
                 f"{len(self.quantiles)} quantile levels"
             )
 
+    @property
+    def median_index(self) -> int:
+        return self.quantiles.index(0.5)
+
     def apply_physical(self, yp_phys: np.ndarray) -> np.ndarray:
-        """Adjust PHYSICAL-unit quantile forecasts (..., L_out, N, Q): add the
-        per-(horizon, level) offsets, re-sort levels (no crossing), re-clip."""
-        adj = yp_phys + self.offsets[:, None, :]
+        """Adjust PHYSICAL-unit quantile forecasts (..., L_out, N, Q) per the
+        mode, re-sort levels (no crossing), re-clip."""
+        if self.mode == "scale":
+            med = yp_phys[..., self.median_index : self.median_index + 1]
+            w = np.maximum(yp_phys[..., -1:] - yp_phys[..., :1], WIDTH_EPS)
+            adj = med + self.offsets[:, None, :] * w
+        else:
+            adj = yp_phys + self.offsets[:, None, :]
         return np.clip(np.sort(adj, axis=-1), TEC_MIN, TEC_MAX)
 
     def save(self, path: str) -> None:
@@ -193,6 +291,7 @@ class ConformalOffsets:
             quantiles=np.asarray(self.quantiles, dtype=np.float64),
             offsets=self.offsets,
             n_calibration=np.asarray(self.n_calibration),
+            mode=np.asarray(self.mode),
         )
 
     @classmethod
@@ -202,6 +301,7 @@ class ConformalOffsets:
                 quantiles=tuple(d["quantiles"].tolist()),
                 offsets=d["offsets"],
                 n_calibration=float(d["n_calibration"]),
+                mode=str(d["mode"]) if "mode" in d else "additive",
             )
 
     @classmethod
@@ -217,6 +317,7 @@ def fit_conformal(
     graph,
     target_scaler: StandardScaler | None,
     batch_size: int = 16,
+    mode: str = "additive",
 ) -> ConformalOffsets:
     """Run inference over a calibration split (normally val) and fit offsets.
 
@@ -234,14 +335,14 @@ def fit_conformal(
     ex = EvalExecutor(
         cfg, graph, params, batch_size, device_dataset=device_ds
     )
-    cal = ConformalCalibrator(cfg.train.L_out, quantiles, target_scaler)
+    cal = ConformalCalibrator(cfg.train.L_out, quantiles, target_scaler, mode=mode)
     for batch in ex.loader(dataset):
         _, preds, trues, valid_dev = ex.run(batch)
         cal.update(trues, preds, valid_dev)
     off = cal.finalize()
     logger.info(
-        "conformal offsets fit on %d windows: per-level TECU range %s",
-        len(dataset),
+        "conformal offsets (%s) fit on %d windows: per-level range %s",
+        mode, len(dataset),
         {f"{q:g}": (round(float(off.offsets[:, j].min()), 2),
                     round(float(off.offsets[:, j].max()), 2))
          for j, q in enumerate(off.quantiles)},

@@ -291,8 +291,7 @@ def evaluate_model_streaming(
     )
     acc_qc = (
         StreamingQuantileMetrics(
-            cfg.train.L_out, quantiles, scaler,
-            offsets=conformal_offsets.offsets,
+            cfg.train.L_out, quantiles, scaler, offsets=conformal_offsets,
         )
         if quantiles and conformal_offsets is not None
         else None
@@ -890,6 +889,7 @@ def _resolve_conformal(
     batch_size: int,
     dataset_cls=None,
     tail_frac: float = 1.0,
+    mode: str = "additive",
 ):
     """Resolve run_evaluation's `conformal` argument into ConformalOffsets
     (or None). 'fit' calibrates on the val split and persists conformal.npz
@@ -927,7 +927,9 @@ def _resolve_conformal(
         if len(val_ds) == 0:
             logger.warning("val split empty — cannot fit conformal offsets")
             return None
-        off = fit_conformal(cfg, params, val_ds, graph, scaler, batch_size)
+        off = fit_conformal(
+            cfg, params, val_ds, graph, scaler, batch_size, mode=mode
+        )
         if jax.process_index() == 0:
             path = ConformalOffsets.path_for(ckpt_path)
             off.save(path)
@@ -966,6 +968,7 @@ def run_evaluation(
     tail_frac: float = 1.0,
     conformal: str | None = None,
     conformal_tail_frac: float = 1.0,
+    conformal_mode: str = "additive",
 ) -> dict[str, Any]:
     """Score a checkpoint (and baselines) on a processed split.
 
@@ -1020,7 +1023,7 @@ def run_evaluation(
         offsets = _resolve_conformal(
             conformal, cfg, params, data_dir, ckpt_path, graph, scaler,
             batch_size, dataset_cls=type(test_ds),
-            tail_frac=conformal_tail_frac,
+            tail_frac=conformal_tail_frac, mode=conformal_mode,
         )
 
     logger.info(

@@ -154,7 +154,7 @@ class StreamingHorizonMetrics:
         }
 
 
-@partial(jax.jit, static_argnames=("quantiles",))
+@partial(jax.jit, static_argnames=("quantiles", "offsets_mode"))
 def batch_quantile_stats(
     y_true_scaled: jnp.ndarray,  # (B, L_out, ...) scaled
     y_pred_q_scaled: jnp.ndarray,  # (B, L_out, ..., Q) scaled, one per level
@@ -162,14 +162,17 @@ def batch_quantile_stats(
     scale: jnp.ndarray,          # () target-scaler scale
     mean: jnp.ndarray,           # () target-scaler mean
     quantiles: tuple[float, ...],
-    offsets: jnp.ndarray | None = None,  # (L_out, Q) physical conformal offsets
+    offsets: jnp.ndarray | None = None,  # (L_out, Q) conformal offsets
+    offsets_mode: str = "additive",
 ) -> jnp.ndarray:
     """-> (L_out, 1 + 2Q) float32 per-horizon sufficient statistics for
     probabilistic forecasts: [n, pinball_sum per level, below_count per level]
     in physical units with the same guard/clip semantics as the point stats.
     `offsets` (not None) applies split-conformal calibration
-    (evaluation/conformal.py): levels are shifted, re-sorted (no crossing),
-    and re-clipped; None scores the raw forecasts exactly as given."""
+    (evaluation/conformal.py) in the given mode — levels are shifted
+    (additive: + TECU offsets; scale: median + offset * band width), re-sorted
+    (no crossing), and re-clipped; None scores the raw forecasts exactly as
+    given."""
     nq = len(quantiles)
     l_out = y_true_scaled.shape[1]
     yt = y_true_scaled.reshape(y_true_scaled.shape[0], l_out, -1).astype(jnp.float32)
@@ -184,10 +187,17 @@ def batch_quantile_stats(
     yp = jnp.clip(jnp.nan_to_num(yp, nan=0.0, posinf=100.0, neginf=0.0),
                   TEC_MIN, TEC_MAX)
     if offsets is not None:
-        yp = jnp.clip(
-            jnp.sort(yp + offsets[None, :, None, :].astype(jnp.float32), axis=-1),
-            TEC_MIN, TEC_MAX,
-        )
+        off = offsets[None, :, None, :].astype(jnp.float32)
+        if offsets_mode == "scale":
+            from tec_mollm_tpu.evaluation.conformal import WIDTH_EPS
+
+            mi = quantiles.index(0.5)
+            med = yp[..., mi : mi + 1]
+            w = jnp.maximum(yp[..., -1:] - yp[..., :1], WIDTH_EPS)
+            yp = med + off * w
+        else:
+            yp = yp + off
+        yp = jnp.clip(jnp.sort(yp, axis=-1), TEC_MIN, TEC_MAX)
 
     w = valid.astype(jnp.float32)[:, None, None]            # (B, 1, 1)
     q = jnp.asarray(quantiles, jnp.float32)                  # (Q,)
@@ -217,17 +227,21 @@ class StreamingQuantileMetrics:
         quantiles: tuple[float, ...],
         scaler: StandardScaler | None = None,
         flush_every: int = 128,
-        offsets: np.ndarray | None = None,
+        offsets=None,
     ):
-        """offsets: (L_out, Q) physical split-conformal offsets
-        (evaluation/conformal.py) — metrics then score the CALIBRATED
-        intervals; None scores the raw head output."""
+        """offsets: split-conformal calibration (evaluation/conformal.py) —
+        a ConformalOffsets object (carries its mode), or a bare (L_out, Q)
+        array treated as additive; metrics then score the CALIBRATED
+        intervals. None scores the raw head output."""
         self.quantiles = tuple(quantiles)
         nq = len(self.quantiles)
         self.stats = np.zeros((num_horizons, 1 + 2 * nq), dtype=np.float64)
         scale, mean = scaler_affine(scaler)
         self.scale = jnp.asarray(scale, jnp.float32)
         self.mean = jnp.asarray(mean, jnp.float32)
+        self.offsets_mode = getattr(offsets, "mode", "additive")
+        if offsets is not None and hasattr(offsets, "offsets"):
+            offsets = offsets.offsets
         self.offsets = (
             None if offsets is None else jnp.asarray(offsets, jnp.float32)
         )
@@ -244,7 +258,7 @@ class StreamingQuantileMetrics:
             valid = jnp.ones((y_true_scaled.shape[0],), bool)
         s = batch_quantile_stats(
             y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
-            self.quantiles, self.offsets,
+            self.quantiles, self.offsets, self.offsets_mode,
         )
         self._pending.append(s)
         if len(self._pending) >= self.flush_every:

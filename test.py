@@ -54,6 +54,14 @@ def main() -> None:
                         "'off' = raw intervals only; or a path to an offsets "
                         "file. Conformal metrics appear as a second "
                         "probabilistic block + quantile_metrics_conformal.csv")
+    p.add_argument("--conformal-mode", default="additive",
+                   choices=["additive", "scale"],
+                   help="with --conformal fit: 'additive' = per-(horizon, "
+                        "level) TECU offsets; 'scale' = offsets in units of "
+                        "the model's own band width (median + delta * "
+                        "(hi - lo)) — transfers across residual-SCALE drift "
+                        "(the solar-cycle arena), where additive offsets fit "
+                        "on in-distribution val under-cover the shifted test")
     p.add_argument("--conformal-tail-frac", type=float, default=1.0,
                    help="with --conformal fit: calibrate on only the "
                         "chronologically last fraction of the val split "
@@ -106,6 +114,7 @@ def main() -> None:
         tail_frac=args.tail_frac,
         conformal=None if args.conformal == "off" else args.conformal,
         conformal_tail_frac=args.conformal_tail_frac,
+        conformal_mode=args.conformal_mode,
     )
 
     if args.rollout_steps > 0:

@@ -85,14 +85,88 @@ class TestOffsetsMath:
         hi = ConformalOffsets(LEVELS, np.array([[0.0, 0.0, 300.0]]))
         assert hi.apply_physical(yp).max() <= 200.0
 
+    def test_scale_mode_transfers_across_residual_scale_drift(self):
+        """The solar-cycle failure mode: residual scale GROWS from the
+        calibration period to the deployment period, but the model's own band
+        width grows with it (RevIN). Additive offsets fit on the calm period
+        under-cover the stormy one; scale-normalized offsets transfer."""
+        rng = np.random.default_rng(5)
+
+        def period(sigma_lo, sigma_hi, n=6):
+            batches = []
+            for _ in range(n):
+                base = rng.normal(20.0, 3.0, size=(16, 3, 50)).astype(np.float32)
+                sig = rng.uniform(sigma_lo, sigma_hi, size=(16, 3, 50)).astype(
+                    np.float32
+                )
+                yt = base + sig * rng.normal(size=(16, 3, 50)).astype(np.float32)
+                # band width tracks sigma but is 5x underdispersed
+                yp = np.stack(
+                    [base - 0.25 * sig, base, base + 0.25 * sig], axis=-1
+                )
+                batches.append((yt, yp))
+            return batches
+
+        calm = period(1.0, 2.0)      # calibration period
+        stormy = period(3.0, 6.0)    # deployment period (3x residual scale)
+
+        offs = {}
+        for mode in ("additive", "scale"):
+            cal = ConformalCalibrator(3, LEVELS, mode=mode)
+            for yt, yp in calm:
+                cal.update(jnp.asarray(yt), jnp.asarray(yp))
+            offs[mode] = cal.finalize()
+
+        def coverage(off):
+            cov = []
+            for yt, yp in stormy:
+                adj = off.apply_physical(yp)
+                cov.append(
+                    ((yt > adj[..., 0]) & (yt <= adj[..., -1])).mean()
+                )
+            return float(np.mean(cov))
+
+        add_cov = coverage(offs["additive"])
+        scale_cov = coverage(offs["scale"])
+        assert add_cov < 0.6          # calm-period TECU offsets are too narrow
+        assert abs(scale_cov - 0.8) < 0.04   # width-relative offsets transfer
+        # and on the calibration period itself both modes are calibrated
+        calm_cov = [
+            ((yt > offs["scale"].apply_physical(yp)[..., 0])
+             & (yt <= offs["scale"].apply_physical(yp)[..., -1])).mean()
+            for yt, yp in calm
+        ]
+        assert abs(float(np.mean(calm_cov)) - 0.8) < 0.03
+
+    def test_scale_mode_streaming_metrics_match_apply_physical(self):
+        rng = np.random.default_rng(6)
+        base = rng.normal(30.0, 2.0, size=(8, 2, 40)).astype(np.float32)
+        sig = rng.uniform(1.0, 3.0, size=(8, 2, 40)).astype(np.float32)
+        yt = base + sig * rng.normal(size=(8, 2, 40)).astype(np.float32)
+        yp = np.stack([base - 0.5 * sig, base, base + 0.5 * sig], axis=-1)
+        off = ConformalOffsets(
+            LEVELS, np.array([[-2.0, 0.1, 2.0], [-1.5, 0.0, 1.5]]), mode="scale"
+        )
+        acc = StreamingQuantileMetrics(2, LEVELS, offsets=off)
+        acc.update(jnp.asarray(yt), jnp.asarray(yp))
+        m = acc.finalize()
+        # reference: numpy apply_physical + direct coverage
+        adj = off.apply_physical(yp)
+        want = ((yt > adj[..., 0]) & (yt <= adj[..., -1])).mean()
+        np.testing.assert_allclose(m["interval_coverage"], want, atol=1e-6)
+
     def test_roundtrip_save_load(self, tmp_path):
-        off = ConformalOffsets(LEVELS, np.arange(6.0).reshape(2, 3), 123.0)
-        p = str(tmp_path / "conformal.npz")
-        off.save(p)
-        back = ConformalOffsets.load(p)
-        assert back.quantiles == off.quantiles
-        np.testing.assert_array_equal(back.offsets, off.offsets)
-        assert back.n_calibration == 123.0
+        for mode in ("additive", "scale"):
+            off = ConformalOffsets(
+                LEVELS, np.arange(6.0).reshape(2, 3), 123.0, mode=mode
+            )
+            p = str(tmp_path / f"conformal_{mode}.npz")
+            off.save(p)
+            back = ConformalOffsets.load(p)
+            assert back.quantiles == off.quantiles
+            assert back.mode == mode
+            np.testing.assert_array_equal(back.offsets, off.offsets)
+            assert back.n_calibration == 123.0
 
 
 class TestMetricsPlumbing:
