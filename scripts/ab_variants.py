@@ -26,8 +26,10 @@ VARIANTS = {
     "unroll21": {"unroll_max_seq": 21},
     "fuse_conv": {"fuse_conv": True},
     "fused_mlp": {"use_fused_mlp": True},
-    # DESIGN §20 shape experiments (round 4)
+    # DESIGN §20 shape experiments (round 4): pad_nodes measured +1.5% train /
+    # +11.4% eval -> now the model DEFAULT; no_pad is the ablation arm
     "pad_nodes": {"pad_nodes_to": 128},
+    "no_pad": {"pad_nodes_to": 0},
     "im2col": {"im2col_conv": True},
     "pad_im2col": {"pad_nodes_to": 128, "im2col_conv": True},
 }

@@ -94,13 +94,16 @@ class TECMoLLM(nn.Module):
     # A/B: 120.2 vs 121.6 ms/step (+1.1%), parity-tested vs nn.LayerNorm
     # (tests/test_gpt2_golden.py) — on by default.
     lean_ln: bool = True
-    # Roofline shape experiment (DESIGN §20): round the node axis up to a
-    # multiple of this after the embedding (2911 -> 2944 = 23x128 at the
-    # default grid) so the lane-major stencil-GAT stages and the B*N-batched
-    # matmul stages tile without a ragged 128-lane tail. Padded nodes carry
-    # zero features, all-False stencil validity (so no real node attends to
-    # them), and are sliced off before the output. 0 = off.
-    pad_nodes_to: int = 0
+    # Round the node axis up to a multiple of this after the embedding
+    # (2911 -> 2944 = 23x128 at the default grid) so the lane-major
+    # stencil-GAT stages and the B*N-batched matmul stages tile without a
+    # ragged 128-lane tail. Padded nodes carry zero features, all-False
+    # stencil validity (so no real node attends to them), and are sliced off
+    # before the output; node axes smaller than one multiple are left alone
+    # (tiny test grids would otherwise 2-3x their compute). Interleaved v5e
+    # A/B at the flagship config (round 4): train 118.2 vs 119.9 ms (+1.5%),
+    # eval forward 86.4 vs 96.3 ms at B=16 (+11.4%) — DEFAULT ON. 0 = off.
+    pad_nodes_to: int = 128
     # Roofline shape experiment: express each conv block's three branches as
     # ONE explicit im2col gather + a single fat (kmax*C_in, 3*C_out) matmul
     # with per-branch zero-padded taps, instead of conv_general_dilated ops —
@@ -142,7 +145,7 @@ class TECMoLLM(nn.Module):
         # nodes' math is untouched (wrap/roll reads of the pad region were
         # already masked invalid on the unpadded grid)
         n_orig = n
-        if self.pad_nodes_to:
+        if self.pad_nodes_to and n >= self.pad_nodes_to:
             n_pad = (-n) % self.pad_nodes_to
             if n_pad:
                 h = jnp.pad(h, ((0, 0), (0, 0), (0, n_pad), (0, 0)))

@@ -29,14 +29,16 @@ class TestScaleUpVirtualPod:
         cfg = scale_up_config()
         # ONLY the node grid shrinks (and epochs); everything architectural
         # stays the preset's: L_in=336 -> 84 latent -> 21 patches (einsum
-        # attention, T > UNROLL_MAX_SEQ), 6 layers, B=1 x accum 8, remat off
+        # attention, T > UNROLL_MAX_SEQ), 6 layers, B=1 x accum 8, remat off.
+        # 24 nodes / sparse val keep the 6-layer L=336 CPU cost inside the
+        # suite budget (48 nodes measured ~50 min on the 1-core rig)
         cfg = dataclasses.replace(
             cfg,
             model=dataclasses.replace(
-                cfg.model, num_nodes=48, grid_h=6, grid_w=8
+                cfg.model, num_nodes=24, grid_h=4, grid_w=6
             ),
             train=dataclasses.replace(
-                cfg.train, epochs=1, model_parallel=2, val_stride=6,
+                cfg.train, epochs=1, model_parallel=2, val_stride=24,
             ),
         )
         assert cfg.model.num_patches == 21          # einsum-attention regime
@@ -54,7 +56,7 @@ class TestScaleUpVirtualPod:
             num_nodes=cfg.model.num_nodes, seed=0,
         )
         val_split = synthetic_processed_split(
-            num_windows=24, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_windows=16, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
             num_nodes=cfg.model.num_nodes, seed=1,
         )
         train_ds = SlidingWindowDataset(
