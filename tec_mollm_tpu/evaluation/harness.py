@@ -486,6 +486,7 @@ def write_results(
 
     qm = results.get("TEC-MoLLM", {}).get("quantile_metrics")
     qmc = results.get("TEC-MoLLM", {}).get("quantile_metrics_conformal")
+    qma = results.get("TEC-MoLLM", {}).get("quantile_metrics_adaptive")
     txt_path = os.path.join(output_dir, "evaluation_summary.txt")
     with open(txt_path, "w") as f:
         f.write("TEC-MoLLM evaluation summary\n")
@@ -520,6 +521,12 @@ def write_results(
             _quantile_block(
                 f, qmc, "Probabilistic forecast (conformal-calibrated)"
             )
+        if qma:
+            _quantile_block(
+                f, qma,
+                "Probabilistic forecast (ADAPTIVE conformal, decay "
+                f"{qma['adaptive']['decay']:g})",
+            )
 
     def _quantile_csv(m, path):
         n_h = len(m["pinball_by_horizon"])
@@ -549,6 +556,10 @@ def write_results(
     if qmc:
         _quantile_csv(
             qmc, os.path.join(output_dir, "quantile_metrics_conformal.csv")
+        )
+    if qma:
+        _quantile_csv(
+            qma, os.path.join(output_dir, "quantile_metrics_adaptive.csv")
         )
     return csv_path, txt_path
 
@@ -969,6 +980,7 @@ def run_evaluation(
     conformal: str | None = None,
     conformal_tail_frac: float = 1.0,
     conformal_mode: str = "additive",
+    conformal_decay: float = 0.99,
 ) -> dict[str, Any]:
     """Score a checkpoint (and baselines) on a processed split.
 
@@ -1019,11 +1031,14 @@ def run_evaluation(
     params = load_params_for_eval(cfg, ckpt_path, graph)
 
     offsets = None
+    adaptive = conformal_mode == "adaptive"
     if conformal is not None:
         offsets = _resolve_conformal(
             conformal, cfg, params, data_dir, ckpt_path, graph, scaler,
             batch_size, dataset_cls=type(test_ds),
-            tail_frac=conformal_tail_frac, mode=conformal_mode,
+            tail_frac=conformal_tail_frac,
+            # the adaptive stream warm-starts from a static ADDITIVE fit
+            mode="additive" if adaptive else conformal_mode,
         )
 
     logger.info(
@@ -1037,6 +1052,24 @@ def run_evaluation(
         cfg, params, test_ds, graph, scaler, batch_size,
         conformal_offsets=offsets,
     )
+    if adaptive and cfg.model.quantiles:
+        # second chronological pass: offsets recalibrate on the stream's own
+        # matured residuals (rolling conformal — the deployment-faithful
+        # calibration under distribution shift; evaluation/conformal.py)
+        from tec_mollm_tpu.evaluation.conformal import (
+            evaluate_adaptive_conformal,
+        )
+
+        logger.info(
+            "adaptive conformal pass (decay %.3f, warm start %s)",
+            conformal_decay, "static fit" if offsets is not None else "none",
+        )
+        model_metrics["quantile_metrics_adaptive"] = (
+            evaluate_adaptive_conformal(
+                cfg, params, test_ds, graph, scaler, batch_size,
+                warm_offsets=offsets, decay=conformal_decay,
+            )
+        )
     results = {
         "TEC-MoLLM": model_metrics,
         "HistoricalAverage": evaluate_baseline_streaming(
@@ -1080,5 +1113,13 @@ def run_evaluation(
             "conformal %g%% interval: coverage %.3f observed (raw head: %.3f)",
             100 * qmc["interval_nominal"], qmc["interval_coverage"],
             raw.get("interval_coverage", float("nan")),
+        )
+    qma = results["TEC-MoLLM"].get("quantile_metrics_adaptive")
+    if qma and "interval_coverage" in qma:
+        logger.info(
+            "ADAPTIVE conformal %g%% interval: coverage %.3f observed "
+            "(calibration %s)",
+            100 * qma["interval_nominal"], qma["interval_coverage"],
+            [round(c, 3) for c in qma["calibration_by_level"]],
         )
     return {"results": results, "improvements": improvements}

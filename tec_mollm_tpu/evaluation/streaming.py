@@ -253,12 +253,21 @@ class StreamingQuantileMetrics:
         y_true_scaled: jnp.ndarray,
         y_pred_q_scaled: jnp.ndarray,
         valid: jnp.ndarray | None = None,
+        offsets_override: jnp.ndarray | None = None,
     ) -> None:
+        """offsets_override: per-batch (L_out, Q) additive offsets replacing
+        the constructor's (adaptive conformal streams evolving offsets — same
+        jitted program, the offsets are a traced argument)."""
         if valid is None:
             valid = jnp.ones((y_true_scaled.shape[0],), bool)
+        if offsets_override is not None:
+            offsets = jnp.asarray(offsets_override, jnp.float32)
+            mode = "additive"
+        else:
+            offsets, mode = self.offsets, self.offsets_mode
         s = batch_quantile_stats(
             y_true_scaled, y_pred_q_scaled, valid, self.scale, self.mean,
-            self.quantiles, self.offsets, self.offsets_mode,
+            self.quantiles, offsets, mode,
         )
         self._pending.append(s)
         if len(self._pending) >= self.flush_every:

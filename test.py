@@ -55,13 +55,20 @@ def main() -> None:
                         "file. Conformal metrics appear as a second "
                         "probabilistic block + quantile_metrics_conformal.csv")
     p.add_argument("--conformal-mode", default="additive",
-                   choices=["additive", "scale"],
+                   choices=["additive", "scale", "adaptive"],
                    help="with --conformal fit: 'additive' = per-(horizon, "
                         "level) TECU offsets; 'scale' = offsets in units of "
                         "the model's own band width (median + delta * "
-                        "(hi - lo)) — transfers across residual-SCALE drift "
-                        "(the solar-cycle arena), where additive offsets fit "
-                        "on in-distribution val under-cover the shifted test")
+                        "(hi - lo)); 'adaptive' = ROLLING recalibration on "
+                        "the chronological test stream (offsets for window k "
+                        "come from a decayed histogram of residuals whose "
+                        "whole target range was observed before k's forecast "
+                        "was issued) — the deployment-faithful calibration "
+                        "under distribution shift, where every static fit "
+                        "under-covers (BASELINE.md round 4)")
+    p.add_argument("--conformal-decay", type=float, default=0.99,
+                   help="per-batch exponential decay of the adaptive-mode "
+                        "residual histogram (recency window)")
     p.add_argument("--conformal-tail-frac", type=float, default=1.0,
                    help="with --conformal fit: calibrate on only the "
                         "chronologically last fraction of the val split "
@@ -115,6 +122,7 @@ def main() -> None:
         conformal=None if args.conformal == "off" else args.conformal,
         conformal_tail_frac=args.conformal_tail_frac,
         conformal_mode=args.conformal_mode,
+        conformal_decay=args.conformal_decay,
     )
 
     if args.rollout_steps > 0:

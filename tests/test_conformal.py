@@ -155,6 +155,27 @@ class TestOffsetsMath:
         want = ((yt > adj[..., 0]) & (yt <= adj[..., -1])).mean()
         np.testing.assert_allclose(m["interval_coverage"], want, atol=1e-6)
 
+    def test_offsets_from_histograms_inverts_known_residuals(self):
+        from tec_mollm_tpu.evaluation.conformal import (
+            ConformalCalibrator,
+            offsets_from_histograms,
+        )
+
+        rng = np.random.default_rng(9)
+        yt = rng.normal(5.0, 2.0, size=(32, 2, 30)).astype(np.float32)
+        yp = np.repeat(
+            rng.normal(5.0, 0.5, size=(32, 2, 30, 1)), 3, axis=-1
+        ).astype(np.float32)
+        cal = ConformalCalibrator(2, LEVELS)
+        cal.update(jnp.asarray(yt), jnp.asarray(yp))
+        cal._flush()
+        got = offsets_from_histograms(cal.hist, LEVELS)
+        resid = (yt[..., None] - yp)
+        for j, q in enumerate(LEVELS):
+            want = np.quantile(resid[..., j].reshape(32 * 2, -1), q, axis=None)
+            # per-horizon quantiles of the same pooled distribution
+            np.testing.assert_allclose(got[:, j], want, atol=0.3)
+
     def test_roundtrip_save_load(self, tmp_path):
         for mode in ("additive", "scale"):
             off = ConformalOffsets(
@@ -266,4 +287,19 @@ class TestEndToEnd:
         qc2 = out2["results"]["TEC-MoLLM"]["quantile_metrics_conformal"]
         np.testing.assert_allclose(
             qc2["interval_coverage"], qc["interval_coverage"], rtol=1e-6
+        )
+
+        # adaptive (rolling) conformal: chronological second pass with
+        # matured-residual recalibration; warm-started from the static fit
+        out3 = run_evaluation(
+            cfg, d, ckpt, output_dir=str(tmp_path / "res3"), batch_size=8,
+            workdir=str(tmp_path), split="val", conformal="auto",
+            conformal_mode="adaptive", conformal_decay=0.95,
+        )
+        qa = out3["results"]["TEC-MoLLM"]["quantile_metrics_adaptive"]
+        assert qa["adaptive"]["batches"] > 0
+        assert qa["adaptive"]["warm_start"] is True
+        assert 0.6 < qa["interval_coverage"] <= 1.0
+        assert os.path.exists(
+            str(tmp_path / "res3" / "quantile_metrics_adaptive.csv")
         )
