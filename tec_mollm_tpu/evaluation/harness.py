@@ -981,6 +981,7 @@ def run_evaluation(
     conformal_tail_frac: float = 1.0,
     conformal_mode: str = "additive",
     conformal_decay: float = 0.99,
+    conformal_level_gain: float = 0.05,
 ) -> dict[str, Any]:
     """Score a checkpoint (and baselines) on a processed split.
 
@@ -1068,6 +1069,7 @@ def run_evaluation(
             evaluate_adaptive_conformal(
                 cfg, params, test_ds, graph, scaler, batch_size,
                 warm_offsets=offsets, decay=conformal_decay,
+                level_gain=conformal_level_gain,
             )
         )
     results = {

@@ -272,6 +272,8 @@ class StreamingQuantileMetrics:
         self._pending.append(s)
         if len(self._pending) >= self.flush_every:
             self._flush()
+        return s  # (L_out, 1+2Q) device stats — adaptive conformal reads the
+        # per-batch below-rates back for its coverage-feedback loop
 
     def _flush(self) -> None:
         if not self._pending:

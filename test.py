@@ -69,6 +69,10 @@ def main() -> None:
     p.add_argument("--conformal-decay", type=float, default=0.99,
                    help="per-batch exponential decay of the adaptive-mode "
                         "residual histogram (recency window)")
+    p.add_argument("--conformal-level-gain", type=float, default=0.05,
+                   help="ACI coverage-error feedback gain for adaptive mode "
+                        "(steers out the systematic lag under monotone "
+                        "drift); 0 = pure rolling recalibration")
     p.add_argument("--conformal-tail-frac", type=float, default=1.0,
                    help="with --conformal fit: calibrate on only the "
                         "chronologically last fraction of the val split "
@@ -123,6 +127,7 @@ def main() -> None:
         conformal_tail_frac=args.conformal_tail_frac,
         conformal_mode=args.conformal_mode,
         conformal_decay=args.conformal_decay,
+        conformal_level_gain=args.conformal_level_gain,
     )
 
     if args.rollout_steps > 0:
