@@ -12,6 +12,7 @@ CPU mesh at dp4 x tp2.
 """
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -24,6 +25,13 @@ from tec_mollm_tpu.graph import build_graph
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("RUN_POD_TESTS"),
+    reason="XLA:CPU compile of the 6-layer L_in=336 fwd+bwd graph takes "
+    "~40-60 min on the 1-core rig (compile-bound, not compute) — run "
+    "explicitly with RUN_POD_TESTS=1 pytest tests/test_scaleup_pod.py; "
+    "round-4 execution evidence in BASELINE.md / /tmp/scaleup_pod3.log",
+)
 class TestScaleUpVirtualPod:
     def test_scale_up_architecture_trains_sharded(self, tmp_path):
         cfg = scale_up_config()
