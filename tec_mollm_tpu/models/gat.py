@@ -184,7 +184,15 @@ class GATv2Stencil(nn.Module):
             jnp.where(valid[o][None, :], jnp.exp(s - m), 0.0)
             for o, s in enumerate(masked)
         ]
-        denom = sum(weights)
+        # A node with ZERO valid offsets (lane-padded nodes, pad_nodes_to)
+        # would divide 0/0 here: the forward NaN gets sliced away at the model
+        # output, but the backward turns it into 0 * NaN = NaN GRADIENTS that
+        # poison every parameter (caught by the first padded archive-scale
+        # training run — eval and all real nodes are unaffected). Real nodes
+        # always have >= 1 valid offset, where the max-shifted exp makes
+        # denom >= 1, so the floor only rescues the all-invalid lanes
+        # (alpha = 0/eps = 0 -> zero output, zero gradient).
+        denom = jnp.maximum(sum(weights), jnp.finfo(xl_t.dtype).tiny)
 
         # pass 2: weighted neighbor sum (re-roll: rolls are cheap lane shifts)
         out = jnp.zeros_like(xl_t)

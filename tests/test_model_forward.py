@@ -89,6 +89,38 @@ class TestForward:
                 atol=1e-5,
             )
 
+    def test_pad_nodes_training_gradients_finite(self, setup, tiny_graph):
+        """Regression (round 4): padded nodes have ZERO valid stencil offsets,
+        so the stencil softmax denominator is 0 — the forward NaN is sliced
+        away at the output but the backward poisons EVERY gradient with
+        0 * NaN (caught by the first padded archive-scale training run; tiny
+        training tests never saw it because grids < pad_nodes_to skip
+        padding). The denom floor must keep gradients finite."""
+        from tec_mollm_tpu.models.tec_mollm import graph_inputs
+
+        cfg, model, params, (x, tf, _, _) = setup
+        shifts, (g1, g2) = graph_inputs(tiny_graph)
+        if shifts is None:
+            pytest.skip("tiny graph has no stencil form")
+        padded = TECMoLLM(
+            cfg.model, stencil_shifts=shifts, gat_pallas=False, pad_nodes_to=13
+        )
+
+        def loss(p):
+            preds = padded.apply(
+                p, x, tf, g1, g2,
+                deterministic=False, rngs={"dropout": jax.random.key(0)},
+            )
+            return jnp.mean(preds**2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(val))
+        finite = jax.tree.map(
+            lambda g: bool(np.all(np.isfinite(np.asarray(g)))), grads
+        )
+        bad = [k for k, v in jax.tree_util.tree_leaves_with_path(finite) if not v]
+        assert not bad, f"non-finite gradients in {bad[:5]}"
+
     def test_im2col_forward_matches_default(self, setup):
         """Full-model im2col conv lowering: same params, same outputs."""
         cfg, model, params, args = setup
