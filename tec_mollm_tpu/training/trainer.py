@@ -318,9 +318,16 @@ class Trainer:
             if sync_every and steps % sync_every == 0:
                 # periodic pipeline drain: without it, every staged batch buffer
                 # of the epoch stays pinned on the host (OOM at archive scale —
-                # see TrainConfig.host_sync_every)
-                float(metrics["loss"])
+                # see TrainConfig.host_sync_every). The readback doubles as a
+                # divergence tripwire: a NaN/inf loss must abort BEFORE the next
+                # periodic checkpoint overwrites 'latest' with poisoned state
+                # (a padded-GAT NaN once trained blind for a full archive epoch
+                # and clobbered the only resumable checkpoint — round 4)
+                self._check_finite(float(metrics["loss"]), steps)
             if ckpt_every and steps % ckpt_every == 0:
+                # the state about to be persisted must be finite (one extra
+                # readback per save; ckpt_every is hundreds of steps)
+                self._check_finite(float(metrics["loss"]), steps)
                 # every host reaches the same step count -> collective-safe
                 self._save_latest(step_in_epoch=steps)
             if (
@@ -344,6 +351,7 @@ class Trainer:
         dt = time.perf_counter() - t0
         steps_this_run = steps - start_step
         windows = steps_this_run * self.macro_batch
+        self._check_finite(total_loss, steps)
         return {
             "train_loss": total_loss / max(steps_this_run, 1),
             "updates": steps_this_run,
@@ -398,6 +406,27 @@ class Trainer:
             total = count = 0.0
         avg_loss = total / max(count, 1.0)
         return avg_loss, acc.finalize()
+
+    def _check_finite(self, loss: float, steps: int) -> None:
+        """Abort on training divergence BEFORE any checkpoint write.
+
+        Without this, a diverged run keeps training blind and — worse — its
+        periodic/epoch-boundary saves OVERWRITE the 'latest' resumable
+        checkpoint with non-finite state, destroying the only recovery point
+        (observed at archive scale, round 4). The loss is replicated, so every
+        host raises together (no pod desync); best_params stays protected
+        anyway (NaN never compares < best), and 'latest' still holds the last
+        finite state."""
+        import math
+
+        if not math.isfinite(loss):
+            raise RuntimeError(
+                f"non-finite training loss ({loss}) at epoch {self.epoch} "
+                f"macro step {steps}: aborting before any further checkpoint "
+                "write. 'latest' still holds the last finite state; resume "
+                "from it (or 'best') after diagnosing — common causes are "
+                "lr/accumulation misconfiguration or corrupt input data."
+            )
 
     def _save_latest(self, step_in_epoch: int = 0) -> None:
         """Resumable 'latest' checkpoint. step_in_epoch=0 means the epoch is

@@ -402,3 +402,65 @@ class TestEMA:
             jax.tree.leaves(trainer2.state.ema), jax.tree.leaves(ema_before)
         ):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
+class TestDivergenceGuard:
+    """A non-finite training loss must abort BEFORE any checkpoint write —
+    round 4: a NaN epoch once trained blind at archive scale and overwrote
+    the only resumable 'latest' checkpoint with poisoned state."""
+
+    def test_nan_loss_raises_and_preserves_latest(self, tiny_graph, tmp_path):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from tec_mollm_tpu.training.trainer import Trainer
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train, epochs=3, accumulation_steps=2, batch_size=2,
+                host_sync_every=1,
+            ),
+        )
+        m = cfg.model
+        split = synthetic_processed_split(
+            num_windows=20, L_in=cfg.train.L_in, L_out=cfg.train.L_out,
+            num_nodes=m.num_nodes, seed=5,
+        )
+        train_ds = SlidingWindowDataset(split, cfg.train.L_in, cfg.train.L_out, stride=2)
+        trainer = Trainer(
+            cfg, train_ds, None, tiny_graph, target_scaler=None,
+            workdir=str(tmp_path), run_name="guard",
+        )
+        # one clean epoch -> a finite 'latest' exists
+        hist = trainer.fit()
+        assert len(hist) == 3
+
+        cfg2 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=4)
+        )
+        trainer2 = Trainer(
+            cfg2, train_ds, None, tiny_graph, target_scaler=None,
+            workdir=str(tmp_path), run_name="guard",
+        )
+        real_step = trainer2._train_step
+
+        def poisoned(state, batch, graph, data=None):
+            state, metrics = real_step(state, batch, graph, data)
+            return state, {**metrics, "loss": jnp.float32(float("nan"))}
+
+        trainer2._train_step = poisoned
+        import json
+        import os
+
+        meta_path = os.path.join(
+            str(tmp_path), "checkpoints", "guard", "latest.meta.json"
+        )
+        before = json.load(open(meta_path))
+        with pytest.raises(RuntimeError, match="non-finite training loss"):
+            trainer2.fit(resume=True)
+        # the resumable checkpoint was NOT overwritten by the diverged epoch
+        after = json.load(open(meta_path))
+        assert after == before
