@@ -60,6 +60,25 @@ class SlidingWindowDataset:
             if max_start > 0
             else np.zeros((0,), dtype=np.int64)
         )
+        # gap tolerance (cadence_policy='segment'): a raw-length segment_id
+        # array drops exactly the windows whose [start, start+L_in+L_out)
+        # span crosses an archive discontinuity or a flagged-bad timestep
+        segment_id = data.get("segment_id")
+        if segment_id is not None and len(self.sample_indices):
+            from tec_mollm_tpu.data.hdf5_io import valid_window_starts
+
+            before = len(self.sample_indices)
+            self.sample_indices = valid_window_starts(
+                self.sample_indices, np.asarray(segment_id), L_in, L_out
+            )
+            dropped = before - len(self.sample_indices)
+            if dropped:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "segment filter: dropped %d/%d windows spanning gaps",
+                    dropped, before,
+                )
         # tail_frac < 1 keeps only the chronologically LAST fraction of windows:
         # under distribution shift (solar cycle) the split's tail is the closest
         # proxy for the deployment epoch, and selecting checkpoints on the full
@@ -89,6 +108,8 @@ class SlidingWindowDataset:
         path = os.path.join(data_dir, f"{mode}_set.npz")
         with np.load(path) as d:
             data = {k: d[k] for k in ("X", "Y", "time_features")}
+            if "segment_id" in d:
+                data["segment_id"] = d["segment_id"]
         return cls(data, L_in=L_in, L_out=L_out, stride=stride, tail_frac=tail_frac)
 
     def __len__(self) -> int:

@@ -118,6 +118,9 @@ class DeviceResidentDataset:
         with np.load(raw_path) as d:
             self.tec = np.ascontiguousarray(d["tec"], dtype=np.float32)
             self.sw = np.ascontiguousarray(d["sw"], dtype=np.float32)
+            self.segment_id = (
+                np.asarray(d["segment_id"]) if "segment_id" in d else None
+            )
         # time features: small, already truncated to len(X) = T_raw - horizon
         with np.load(os.path.join(data_dir, f"{mode}_set.npz")) as d:
             self.tf = np.ascontiguousarray(d["time_features"], dtype=np.int32)
@@ -150,6 +153,15 @@ class DeviceResidentDataset:
             if max_start > 0
             else np.zeros((0,), dtype=np.int64)
         )
+        if self.segment_id is not None and len(self.sample_indices):
+            # gap tolerance: same filter as SlidingWindowDataset — the on-device
+            # gather indexes raw positions, so windows spanning an archive
+            # discontinuity must never enter the index space
+            from tec_mollm_tpu.data.hdf5_io import valid_window_starts
+
+            self.sample_indices = valid_window_starts(
+                self.sample_indices, self.segment_id, L_in, L_out
+            )
         if not 0.0 < tail_frac <= 1.0:
             raise ValueError(f"tail_frac must be in (0, 1], got {tail_frac}")
         self.tail_frac = tail_frac

@@ -93,9 +93,24 @@ def create_features_and_targets(
 
 
 def build_split_tensors(
-    data_splits: dict[str, dict[str, np.ndarray]], horizon: int = 12
+    data_splits: dict[str, dict[str, np.ndarray]],
+    horizon: int = 12,
+    cadence_policy: str = "warn",
 ) -> dict[str, dict[str, np.ndarray]]:
-    """Split dicts {tec, time, space_weather_indices} -> aligned {X, Y, time_features}."""
+    """Split dicts {tec, time, space_weather_indices} -> aligned {X, Y, time_features}.
+
+    ``cadence_policy`` governs within-split timestamp irregularities (outages,
+    out-of-order files), which corrupt raw-position windows (reference
+    dataset.py:46-53 assumes continuity):
+      * "warn"    — log loudly, build everything anyway (reference-equivalent);
+      * "raise"   — abort preprocessing on any irregularity;
+      * "segment" — attach a raw-length ``segment_id`` array (hdf5_io.compute_segments,
+        with mostly-non-finite TEC steps flagged bad via the split's optional
+        ``bad_steps`` mask) so the windowing layers drop exactly the windows
+        that would span a discontinuity (hdf5_io.valid_window_starts).
+    """
+    if cadence_policy not in ("warn", "raise", "segment"):
+        raise ValueError(f"unknown cadence_policy {cadence_policy!r}")
     # one archive-wide base year so train/val/test index the same embedding rows
     # (the reference's per-split min-year makes val/test collide with the first
     # train years — see extract_time_features)
@@ -108,7 +123,12 @@ def build_split_tensors(
     for split_name, data in data_splits.items():
         # windows/targets index raw positions, so WITHIN-split gaps corrupt
         # them (gaps at split boundaries are benign — windows are per split)
-        check_cadence(data["time"], context=f"split '{split_name}'")
+        irregular = check_cadence(data["time"], context=f"split '{split_name}'")
+        if cadence_policy == "raise" and irregular:
+            raise ValueError(
+                f"split '{split_name}' has {irregular} timestamp irregularities "
+                "(cadence_policy='raise'; use 'segment' to window around them)"
+            )
         x = construct_feature_tensor(data["tec"], data["space_weather_indices"])
         y = construct_target_tensor(data["tec"], horizon)
         tf = extract_time_features(data["time"], base_year=base_year)
@@ -118,6 +138,14 @@ def build_split_tensors(
             "Y": y,
             "time_features": tf[:num_targets],
         }
+        if cadence_policy == "segment":
+            from tec_mollm_tpu.data.hdf5_io import compute_segments
+
+            # RAW length (num_targets + horizon): valid_window_starts checks
+            # the target's reach beyond the truncated X
+            processed[split_name]["segment_id"] = compute_segments(
+                data["time"], bad_steps=data.get("bad_steps")
+            )
         logger.info(
             "split %-5s: X %s Y %s tf %s",
             split_name,

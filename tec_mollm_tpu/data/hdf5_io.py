@@ -122,6 +122,64 @@ def check_cadence(times: np.ndarray, context: str = "") -> int:
     return int(nonmono.size + gaps.size)
 
 
+def compute_segments(
+    times: np.ndarray, bad_steps: np.ndarray | None = None
+) -> np.ndarray:
+    """Per-timestep contiguity segment ids for gap-tolerant windowing.
+
+    Real CRIM archives have outages; the reference would silently build windows
+    spanning them (data_loader.py:84-130 assumes continuity; dataset.py:46-53
+    indexes raw positions). Instead of aborting the whole split, windowing can
+    drop exactly the windows that cross a discontinuity: this returns an int32
+    array where two timesteps share an id iff every step between them is present
+    at the archive's median cadence (and, optionally, not flagged bad).
+
+    ``bad_steps`` (bool, per step) marks unusable timesteps (e.g. mostly-NaN
+    TEC maps): they get id -1 and break the segments around them, so no window
+    can contain or span one.
+    """
+    t = np.asarray(times, dtype="datetime64[s]").astype(np.int64)
+    n = t.size
+    seg = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return seg
+    breaks = np.zeros(n, dtype=bool)
+    if n > 1:
+        deltas = np.diff(t)
+        step = int(np.median(deltas))
+        breaks[1:] = (deltas != step) | (deltas <= 0)
+    if bad_steps is not None:
+        bad = np.asarray(bad_steps, dtype=bool)
+        breaks[1:] |= bad[:-1]  # a new segment starts after every bad step
+    seg = np.cumsum(breaks).astype(np.int32)
+    if bad_steps is not None:
+        seg[np.asarray(bad_steps, dtype=bool)] = -1
+    return seg
+
+
+def valid_window_starts(
+    starts: np.ndarray, segment_id: np.ndarray, L_in: int, L_out: int
+) -> np.ndarray:
+    """Filter window starts to those whose full raw span sits in one segment.
+
+    A window at start i consumes X[i : i+L_in] and the target Y[i+L_in-1],
+    which reaches raw steps [i+L_in, i+L_in+L_out-1] — the contiguity span is
+    [i, i+L_in+L_out-1]. ``segment_id`` must cover the RAW (untruncated) length.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    if not len(starts):
+        return starts
+    end = starts + L_in + L_out - 1
+    if int(end.max()) >= len(segment_id):
+        raise ValueError(
+            f"segment_id length {len(segment_id)} does not cover window end "
+            f"{int(end.max())} — pass the raw-length segment array"
+        )
+    s0 = segment_id[starts]
+    keep = (s0 >= 0) & (s0 == segment_id[end])
+    return starts[keep]
+
+
 def aggregate_files(file_paths: list[str]) -> dict[str, np.ndarray]:
     """Concatenate per-year files along time; decode timestamps; keep static coords
     from the first file (reference data_loader.py:84-130)."""

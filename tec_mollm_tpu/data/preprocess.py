@@ -45,11 +45,14 @@ def flatten_grid(split: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     """(T, H, W, C) -> (T, H*W, C): done once offline instead of per batch
     (reference reshapes per batch, train.py:62)."""
     t = split["X"].shape[0]
-    return {
+    out = {
         "X": split["X"].reshape(t, -1, split["X"].shape[-1]).astype(np.float32),
         "Y": split["Y"].reshape(t, -1, split["Y"].shape[-1]).astype(np.float32),
         "time_features": split["time_features"].astype(np.int32),
     }
+    if "segment_id" in split:  # raw-length contiguity ids (cadence_policy=segment)
+        out["segment_id"] = split["segment_id"].astype(np.int32)
+    return out
 
 
 def sanitize_raw_tec(splits: dict[str, dict[str, np.ndarray]]) -> None:
@@ -59,7 +62,12 @@ def sanitize_raw_tec(splits: dict[str, dict[str, np.ndarray]]) -> None:
     in the raw archive would silently poison the scaler fit and every training
     loss. Here non-finite raw values are counted, logged loudly, and replaced
     with 0 before feature construction (the same nan_to_num stance the
-    reference applies downstream)."""
+    reference applies downstream). Timesteps whose TEC map is mostly
+    (>``bad_step_frac``) non-finite are additionally recorded in a per-split
+    ``bad_steps`` mask: under cadence_policy='segment' such dropout steps are
+    excluded from every window (features.build_split_tensors) instead of
+    entering training as mostly-zero maps."""
+    bad_step_frac = 0.5
     for name, data in splits.items():
         for key in ("tec", "space_weather_indices"):
             arr = data.get(key)
@@ -68,6 +76,17 @@ def sanitize_raw_tec(splits: dict[str, dict[str, np.ndarray]]) -> None:
             bad = ~np.isfinite(arr)
             n_bad = int(bad.sum())
             if n_bad:
+                if key == "tec" and arr.ndim >= 2:
+                    frac = bad.reshape(arr.shape[0], -1).mean(axis=1)
+                    data["bad_steps"] = frac > bad_step_frac
+                    n_bad_steps = int(data["bad_steps"].sum())
+                    if n_bad_steps:
+                        logger.warning(
+                            "split %s: %d timestep(s) with >%d%% non-finite TEC "
+                            "flagged bad (windowed around under "
+                            "cadence_policy='segment')",
+                            name, n_bad_steps, int(bad_step_frac * 100),
+                        )
                 logger.warning(
                     "split %s: %d non-finite values (%.4f%%) in %s -> replaced with 0",
                     name, n_bad, 100.0 * n_bad / arr.size, key,
@@ -82,6 +101,8 @@ def run_preprocess(
     synthetic_grid: tuple[int, int] = (41, 71),
     seed: int = 0,
     solar_cycle: bool = False,
+    cadence_policy: str = "warn",
+    synthetic_drop: tuple[int, int] | None = None,
 ) -> dict[str, int]:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -136,6 +157,18 @@ def run_preprocess(
             num_steps=synthetic_steps, grid_h=gh, grid_w=gw, seed=seed,
             times=times, solar_cycle=solar_cycle,
         )
+        if synthetic_drop is not None:
+            # carve a real outage into the archive (gap-tolerance fixture):
+            # drop `count` consecutive steps starting at archive index `start`
+            start, count = synthetic_drop
+            keep = np.ones(raw["time"].shape[0], dtype=bool)
+            keep[start : start + count] = False
+            for key in ("tec", "time", "space_weather_indices"):
+                raw[key] = raw[key][keep]
+            logger.info(
+                "synthetic outage: dropped steps [%d, %d) -> %d remain",
+                start, start + count, int(keep.sum()),
+            )
         splits = split_by_time(
             raw, data_cfg.train_end, data_cfg.val_start, data_cfg.val_end,
             data_cfg.test_start,
@@ -163,12 +196,20 @@ def run_preprocess(
     # windows are gathered on device instead of streamed from the host.
     for name, data in splits.items():
         t = data["tec"].shape[0]
-        np.savez(
-            os.path.join(out_dir, f"{name}_raw.npz"),
-            tec=data["tec"].reshape(t, -1).astype(np.float32),
-            sw=data["space_weather_indices"].astype(np.float32),
-        )
-    tensors = build_split_tensors(splits, horizon=data_cfg.horizon)
+        raw_payload = {
+            "tec": data["tec"].reshape(t, -1).astype(np.float32),
+            "sw": data["space_weather_indices"].astype(np.float32),
+        }
+        if cadence_policy == "segment":
+            from tec_mollm_tpu.data.hdf5_io import compute_segments
+
+            raw_payload["segment_id"] = compute_segments(
+                data["time"], bad_steps=data.get("bad_steps")
+            )
+        np.savez(os.path.join(out_dir, f"{name}_raw.npz"), **raw_payload)
+    tensors = build_split_tensors(
+        splits, horizon=data_cfg.horizon, cadence_policy=cadence_policy
+    )
     tensors, _ = standardize_features(
         tensors, scaler_path=os.path.join(out_dir, "scaler.npz")
     )
@@ -222,6 +263,15 @@ def main() -> None:
                         "TEC amplitude + space-weather indices physically coupled "
                         "to TEC (storm depletions) instead of uninformative walks")
     parser.add_argument("--config", default=None, help="config json path")
+    parser.add_argument("--cadence-policy", default="warn",
+                        choices=("warn", "raise", "segment"),
+                        help="within-split timestamp gaps: warn (reference-"
+                        "equivalent), raise (abort), or segment (drop exactly "
+                        "the windows that would span a gap/bad step)")
+    parser.add_argument("--synthetic-drop", type=int, nargs=2, default=None,
+                        metavar=("START", "COUNT"),
+                        help="carve an outage into the synthetic archive: drop "
+                        "COUNT consecutive steps at archive index START")
     args = parser.parse_args()
 
     setup_logging()
@@ -237,6 +287,10 @@ def main() -> None:
         synthetic_steps=args.synthetic,
         synthetic_grid=tuple(args.synthetic_grid),
         solar_cycle=args.solar_cycle,
+        cadence_policy=args.cadence_policy,
+        synthetic_drop=(
+            tuple(args.synthetic_drop) if args.synthetic_drop else None
+        ),
     )
     logger.info("done: %s", sizes)
 

@@ -237,6 +237,97 @@ class TestTwoProcessTraining:
                 sp_eval[key], rel=2e-4
             )
 
+        # Round 5 (VERDICT r4 weak #3): the formerly-fenced multi-process eval
+        # paths. Both processes must produce IDENTICAL chronological
+        # prediction tensors and identical adaptive-conformal trajectories.
+        assert results[0]["gmp_shape"] == results[1]["gmp_shape"]
+        assert results[0]["gmp_digest"] == pytest.approx(
+            results[1]["gmp_digest"], rel=1e-9
+        )
+        assert results[0]["aci_levels"] == results[1]["aci_levels"]
+        assert results[0]["aci_coverage"] == pytest.approx(
+            results[1]["aci_coverage"], rel=1e-9
+        )
+        assert results[0]["aci_pinball"] == pytest.approx(
+            results[1]["aci_pinball"], rel=1e-9
+        )
+
+        # ... and match a single-process run of the SAME checkpoint / params
+        # (order-sensitive digest catches any in-batch row interleave;
+        # fp reduction order differs across topologies -> loose rel)
+        import dataclasses as _dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from tec_mollm_tpu.data.scaler import StandardScaler
+        from tec_mollm_tpu.evaluation.conformal import evaluate_adaptive_conformal
+        from tec_mollm_tpu.evaluation.harness import (
+            get_model_predictions,
+            load_params_for_eval,
+        )
+        from tec_mollm_tpu.graph.builder import GraphData
+        from tec_mollm_tpu.models import TECMoLLM
+
+        cfg_sp = results_cfg()
+        graph_sp = GraphData.load(os.path.join(data_dir, "graph.npz"))
+        ckpt = os.path.join(mh_dir, "checkpoints", "mh_run", "best_params")
+        params_sp = load_params_for_eval(cfg_sp, ckpt, graph_sp)
+        from tec_mollm_tpu.data.dataset import SlidingWindowDataset
+
+        val_sp = SlidingWindowDataset.from_dir(
+            data_dir, "val", cfg_sp.train.L_in, cfg_sp.train.L_out, stride=1
+        )
+        trues_sp, preds_sp = get_model_predictions(
+            cfg_sp, params_sp, val_sp, graph_sp, batch_size=4
+        )
+        assert list(preds_sp.shape) == results[0]["gmp_shape"]
+        w = np.linspace(1.0, 2.0, len(preds_sp))
+        digest_sp = float(
+            (np.abs(preds_sp).reshape(len(preds_sp), -1).sum(axis=1) * w).sum()
+        )
+        assert results[0]["gmp_digest"] == pytest.approx(digest_sp, rel=2e-4)
+        true_sp = float(
+            (np.abs(trues_sp).reshape(len(trues_sp), -1).sum(axis=1) * w).sum()
+        )
+        # targets flow straight from the archive: exact across topologies
+        assert results[0]["gmp_true_digest"] == pytest.approx(true_sp, rel=1e-6)
+
+        qcfg = _dc.replace(
+            cfg_sp,
+            model=_dc.replace(cfg_sp.model, quantiles=(0.1, 0.5, 0.9)),
+        )
+        qmodel = TECMoLLM(qcfg.model)
+        qx = jnp.zeros(
+            (1, qcfg.model.temporal_seq_len, qcfg.model.num_nodes,
+             qcfg.model.in_features)
+        )
+        qtf = jnp.zeros((1, qcfg.model.temporal_seq_len, 4), jnp.int32)
+        qparams = qmodel.init(
+            jax.random.key(0), qx, qtf,
+            jnp.asarray(graph_sp.neighbors),
+            jnp.asarray(graph_sp.neighbor_mask),
+        )["params"]
+        scaler_sp = StandardScaler.load(
+            os.path.join(data_dir, "target_scaler.npz")
+        )
+        aci_sp = evaluate_adaptive_conformal(
+            qcfg, qparams, val_sp, graph_sp, scaler_sp, batch_size=8,
+            min_residual_mass=200.0,
+        )
+        assert aci_sp["adaptive"]["batches"] == results[0]["aci_batches"]
+        assert results[0]["aci_coverage"] == pytest.approx(
+            float(aci_sp["interval_coverage"]), abs=2e-3
+        )
+        assert results[0]["aci_pinball"] == pytest.approx(
+            float(aci_sp["pinball_avg"]), rel=2e-3
+        )
+        np.testing.assert_allclose(
+            results[0]["aci_levels"],
+            aci_sp["adaptive"]["final_effective_levels"],
+            atol=2e-3,
+        )
+
         # primary wrote the artifacts exactly once
         assert os.path.exists(
             os.path.join(mh_dir, "results", "evaluation_results.csv")
