@@ -1044,8 +1044,18 @@ def run_evaluation(
 
     ckpt_path = resolve_checkpoint(checkpoint, workdir, run_name)
     logger.info("checkpoint: %s", ckpt_path)
-    warn_on_config_mismatch(cfg, ckpt_path)
-    params = load_params_for_eval(cfg, ckpt_path, graph)
+    if ckpt_path.endswith((".pth", ".pt")):
+        # a torch checkpoint from the actual reference's training
+        # (/root/reference/train.py:446 saves state_dict as .pth) — imported
+        # weight-for-weight so the SAME trained model is scored by both eval
+        # stacks (the BASELINE.md accuracy-parity contract)
+        from tec_mollm_tpu.models.ref_import import load_reference_checkpoint
+
+        logger.info("importing PyTorch reference checkpoint via ref_import")
+        params = load_reference_checkpoint(ckpt_path, cfg.model)
+    else:
+        warn_on_config_mismatch(cfg, ckpt_path)
+        params = load_params_for_eval(cfg, ckpt_path, graph)
 
     offsets = None
     adaptive = conformal_mode == "adaptive"

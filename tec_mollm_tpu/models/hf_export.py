@@ -72,6 +72,11 @@ def save_hf_checkpoint(
         "n_layer": sum(1 for k in state_dict if k.endswith(".ln_1.weight")),
         **(meta or {}),
     }
+    if "wte.weight" in state_dict:
+        # without this, transformers builds the default 50257-token embedding
+        # and fails to load the byte-LM's 256-row wte (AutoModel path used by
+        # scripts/run_reference.py)
+        cfg["vocab_size"] = int(state_dict["wte.weight"].shape[0])
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2)
     return path

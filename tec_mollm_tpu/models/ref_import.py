@@ -50,6 +50,17 @@ def reference_state_dict_to_params(
         name: {"embedding": get(f"spatio_temporal_embedding.{name}_embedding.weight")}
         for name in ("node", "tod", "doy", "year", "season")
     }
+    # The reference sizes its node table from config (hardcoded 2911,
+    # train.py:263) but only ever indexes rows [0, N_data) (modules.py:245);
+    # our model sizes the table to the data grid. Slicing the imported table
+    # to cfg.num_nodes rows is therefore value-exact for any N_data <= table.
+    node_w = embedding["node"]["embedding"]
+    if node_w.shape[0] < cfg.num_nodes:
+        raise ValueError(
+            f"reference node table has {node_w.shape[0]} rows < "
+            f"num_nodes {cfg.num_nodes}"
+        )
+    embedding["node"]["embedding"] = node_w[: cfg.num_nodes]
 
     # --- spatial encoder (GATv2) ---
     att = get("spatial_encoder.gat_conv.att")
