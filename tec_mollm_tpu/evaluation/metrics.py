@@ -59,15 +59,43 @@ def _pearson(y_true_flat: np.ndarray, y_pred_flat: np.ndarray) -> float:
     return 0.0
 
 
+def evaluate_metrics_unscaled_fallback(
+    y_true_unscaled: np.ndarray, y_pred_unscaled: np.ndarray
+) -> dict[str, float]:
+    """Metrics on already-physical (unscaled) data with the reference's exact
+    fallback semantics (metrics.py:91-117): arrays reshaped to 2D on the last
+    axis; MAE/RMSE over all elements; R^2 = per-column uniform average
+    (sklearn default multioutput); Pearson = mean of PER-COLUMN correlations
+    with the std>0 guard — unlike the wired scaled path, which flattens
+    before Pearson (evaluate_metrics below)."""
+    yt = np.asarray(y_true_unscaled, dtype=np.float64)
+    yp = np.asarray(y_pred_unscaled, dtype=np.float64)
+    if yt.ndim > 2:
+        yt = yt.reshape(-1, yt.shape[-1])
+        yp = yp.reshape(-1, yp.shape[-1])
+    elif yt.ndim == 1:
+        yt = yt[:, None]
+        yp = yp[:, None]
+    pearsons = [
+        _pearson(yt[:, i], yp[:, i]) for i in range(yt.shape[1])
+    ]
+    return {
+        "mae": _mae(yt, yp),
+        "rmse": _rmse(yt, yp),
+        "r2_score": _r2(yt, yp),
+        "pearson_r": float(np.mean(pearsons)),
+    }
+
+
 def evaluate_metrics(
     y_true_scaled: np.ndarray,
     y_pred_scaled: np.ndarray,
     scaler: StandardScaler | None,
 ) -> dict[str, float]:
     """Metrics for one horizon slice. Inputs are in scaled (standardized) units;
-    `scaler=None` means the data is already in physical units
-    (reference evaluate_metrics_unscaled_fallback uses per-column Pearson — here the
-    flattened-Pearson path is used uniformly, matching the wired code path)."""
+    `scaler=None` means the data is already in physical units and keeps the
+    flattened-Pearson semantics of the wired path; for the reference's
+    per-column-Pearson fallback contract use evaluate_metrics_unscaled_fallback."""
     y_true = np.asarray(y_true_scaled, dtype=np.float64)
     y_pred = np.asarray(y_pred_scaled, dtype=np.float64)
 

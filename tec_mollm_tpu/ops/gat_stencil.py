@@ -1,8 +1,19 @@
-"""Pallas TPU kernel for stencil graph attention (GATv2 on regular grids).
+"""Pallas TPU kernel for stencil graph attention — OPT-IN ABLATION ARM.
 
-Fuses the whole per-graph-slice attention — the O (~11) neighbor shifts, leaky-relu
-scoring, masked softmax over offsets, and the weighted neighbor sum — in VMEM, so
-HBM sees exactly one read of the projected features and one write of the output
+Status (measured, BASELINE.md rounds 1-4): at every shipped config this kernel
+is neutral-to-slower than the XLA stencil in models/gat.py — XLA already
+pipelines the per-offset elementwise work against the surrounding matmuls, so
+the fusion buys nothing at these shapes. It is kept as a tested ablation arm
+(`gat_pallas=True`), not a recommended path.
+
+LIMITS: forward-only — there is NO custom VJP (jnp.roll has no autodiff rule
+inside pallas_call), so models/gat.py guards it to `deterministic` evaluation;
+a training step never selects it (the guard enforces that, including the
+gat_dropout=0 case).
+
+What it fuses, for the record: the O (~11) neighbor shifts, leaky-relu scoring,
+masked softmax over offsets, and the weighted neighbor sum in VMEM, so HBM sees
+exactly one read of the projected features and one write of the output
 (the XLA path materializes per-offset score/weight arrays between fusions).
 
 Shapes: one program per graph slice m in [0, M = B*L):
@@ -10,9 +21,8 @@ Shapes: one program per graph slice m in [0, M = B*L):
     valid:  (O, N)        per-offset neighbor validity
     out:    (M, H*C, N)
 
-Used by models/gat.py for the deterministic (eval/rollout) path; training keeps the
-XLA stencil because attention dropout needs JAX PRNG threading. The XLA stencil in
-GATv2Stencil is the numerical golden (tests run this kernel in interpreter mode).
+The XLA stencil in GATv2Stencil is the numerical golden (tests run this kernel
+in interpreter mode).
 """
 
 from __future__ import annotations
