@@ -38,6 +38,10 @@ class TestMidSizePod:
                 cfg.train,
                 L_in=96, epochs=1, model_parallel=2, val_stride=12,
                 accumulation_steps=4,
+                # stride 1 so the 21-window arena exceeds one macro batch and
+                # forces the padded-remainder second update (scale_up's
+                # preset stride 3 would leave only 7 windows)
+                train_stride=1,
             ),
         )
         assert cfg.model.num_patches == 6  # unrolled-attention regime

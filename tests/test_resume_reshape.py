@@ -23,13 +23,13 @@ from tec_mollm_tpu.parallel.mesh import make_mesh
 from tec_mollm_tpu.training.trainer import Trainer
 
 
-def _cfg(epochs: int, model_parallel: int):
+def _cfg(epochs: int, model_parallel: int, flatten_optimizer: bool | None = None):
     cfg = tiny_config()
+    kw = dict(epochs=epochs, model_parallel=model_parallel, bf16=False)
+    if flatten_optimizer is not None:
+        kw["flatten_optimizer"] = flatten_optimizer
     return dataclasses.replace(
-        cfg,
-        train=dataclasses.replace(
-            cfg.train, epochs=epochs, model_parallel=model_parallel, bf16=False
-        ),
+        cfg, train=dataclasses.replace(cfg.train, **kw)
     )
 
 
@@ -72,13 +72,19 @@ class TestResumeAcrossReshape:
         assert len(h1) == 1 and np.isfinite(h1[0]["val_loss"])
         saved = jax.device_get(t1.state.trainable)
 
-        # restore onto the NEW mesh: layout-only — params bit-identical
+        # restore onto the NEW mesh: layout-only — params bit-identical.
+        # One structural coupling to the mesh exists: flatten_optimizer is
+        # auto-disabled under tp>1 (training/optimizer.py — flattening
+        # TP-sharded leaves would gather them), so a tp>1 checkpoint restored
+        # onto tp==1 must keep flatten_optimizer=False to match the saved
+        # moment layout (the refusal without it is asserted below).
         mesh2 = make_mesh(
             data_parallel=dp2, model_parallel=tp2,
             devices=jax.devices()[: dp2 * tp2],
         )
+        cfg2 = _cfg(2, tp2, flatten_optimizer=False if tp2 == 1 else None)
         t2 = Trainer(
-            _cfg(2, tp2), train_ds, val_ds, graph, None,
+            cfg2, train_ds, val_ds, graph, None,
             workdir=workdir, run_name="reshape", mesh=mesh2,
         )
         restored_state, meta = t2.ckpt.restore_state(t2.state, "latest")
@@ -97,3 +103,28 @@ class TestResumeAcrossReshape:
         assert os.path.isdir(
             os.path.join(workdir, "checkpoints", "reshape", "latest")
         )
+
+    def test_layout_mismatch_refused_with_actionable_error(self, arena, tmp_path):
+        """tp>1 checkpoints carry UNFLATTENED optimizer moments; restoring
+        onto a tp==1 config with the default flattened layout must fail with
+        the message that names the flatten_optimizer escape hatch (the
+        supported path is tested above)."""
+        train_ds, val_ds, graph = arena
+        workdir = str(tmp_path)
+        mesh1 = make_mesh(
+            data_parallel=2, model_parallel=2, devices=jax.devices()[:4]
+        )
+        t1 = Trainer(
+            _cfg(1, 2), train_ds, val_ds, graph, None,
+            workdir=workdir, run_name="reshape2", mesh=mesh1,
+        )
+        t1.fit()
+        mesh2 = make_mesh(
+            data_parallel=4, model_parallel=1, devices=jax.devices()[:4]
+        )
+        t2 = Trainer(
+            _cfg(2, 1), train_ds, val_ds, graph, None,
+            workdir=workdir, run_name="reshape2", mesh=mesh2,
+        )
+        with pytest.raises(RuntimeError, match="flatten_optimizer"):
+            t2.ckpt.restore_state(t2.state, "latest")
