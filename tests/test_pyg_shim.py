@@ -117,6 +117,32 @@ class TestShimMatchesJax:
             assert p.grad is not None, name
             assert torch.isfinite(p.grad).all(), name
 
+    def test_reference_batching_quirk_reproduced(self):
+        # SURVEY §2.d.1 executable evidence: the reference flattens stacked
+        # graphs to (L*B*N, C) and applies ONE un-offset edge_index
+        # (modules.py:353-356), so only the FIRST graph's nodes receive real
+        # neighbor messages — every later graph gets self-loop-only attention.
+        # The shim must reproduce exactly this when driven the reference's way.
+        rng = np.random.default_rng(4)
+        n, f_in, heads, out = 6, 5, 2, 3
+        edge_index = np.array([[0, 1, 2, 3], [1, 0, 3, 2]], dtype=np.int64)
+        conv = _shim_conv(f_in, out, heads, seed=11)
+        conv.eval()
+        x2 = rng.standard_normal((2 * n, f_in)).astype(np.float32)  # 2 graphs
+        with torch.no_grad():
+            y = conv(torch.from_numpy(x2), torch.from_numpy(edge_index)).numpy()
+            # second graph's rows == pure self-attention == lin_l(x) + bias
+            expect = (
+                conv.lin_l(torch.from_numpy(x2[n:])) + conv.bias
+            ).numpy()
+        np.testing.assert_allclose(y[n:], expect, atol=1e-5)
+        # ...while the first graph's connected nodes do NOT equal self-only
+        with torch.no_grad():
+            self_only = (
+                conv.lin_l(torch.from_numpy(x2[:4])) + conv.bias
+            ).numpy()
+        assert np.abs(y[:4] - self_only).max() > 1e-3
+
     def test_state_dict_contract_for_ref_import(self):
         # the exact keys/shapes models/ref_import.py expects from a reference
         # checkpoint's spatial_encoder.gat_conv.*
